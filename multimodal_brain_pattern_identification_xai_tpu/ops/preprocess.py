@@ -1,0 +1,139 @@
+"""Fused, batched preprocessing pipelines.
+
+Each function is one jit-able XLA program over a whole batch — the TPU
+replacement for the reference's per-sample ``__getitem__`` scipy chains:
+
+* :func:`eeg_transform`      ← ``_EEGTransformer.transform`` (dataset.py:48-141)
+* :func:`hms_eeg_preprocess` ← ``HMS_EEG_Dataset.single_map_func``
+  (XAI_Multimodality.py:786-797)
+* :func:`hms_spectrogram_preprocess` ← ``HMS_Spectrogram_Dataset.__getitem__``
+  (XAI_Multimodality.py:705-737)
+
+Note on the first bandpass order: the reference is self-inconsistent — the
+YAML config says order 2 (config.yml:513), the notebook dataset's method
+default says order 5 (XAI_Multimodality.py:842) and ``denoise_filter`` uses
+order 6 (:864).  Both are exposed via :class:`...config.HMSPreprocessConfig`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as C
+from . import iir, montage, nanfix, normalize, resample, smooth
+
+
+# ---------------------------------------------------------------------------
+# Raw-EEG transformer chain (EEGDataset / DilatedInceptionWaveNet input)
+# ---------------------------------------------------------------------------
+
+def eeg_transform(x: jnp.ndarray,
+                  cfg: C.EEGTransformConfig = C.EEGTransformConfig(),
+                  fs: float = 200.0) -> jnp.ndarray:
+    """Batched ``_EEGTransformer.transform`` (dataset.py:73-103).
+
+    ``x``: (..., L, C) raw window with C = 19 scalp channels (or the raw
+    channels Chris' magic-8 needs).  Returns (..., L', C') with L' = L/5
+    and C' = 8 (magic) or 19.
+    """
+    if cfg.apply_chris_magic_ch8:
+        x = montage.chris_magic_ch8(x)
+    if cfg.normalize:
+        x = normalize.clip_scale(x, cfg.clip_value, cfg.scale)
+    if cfg.apply_butter_lowpass_filter:
+        coeffs = iir.butter_lowpass(cfg.lowpass_cutoff_hz, fs, cfg.lowpass_order)
+        x = iir.lfilter(coeffs, x, axis=-2)
+    if cfg.apply_mu_law_encoding:
+        x = normalize.mu_law_encode(x, 1.0)
+    if cfg.downsample:
+        x = x[..., ::cfg.downsample, :]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# HMS 37-channel EEG chain (EEGNet-family / multimodal input)
+# ---------------------------------------------------------------------------
+
+def hms_eeg_preprocess(x: jnp.ndarray,
+                       cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
+                       signal: C.SignalConfig = C.SignalConfig()) -> jnp.ndarray:
+    """Batched ``HMS_EEG_Dataset.single_map_func`` (XAI_Multimodality.py:786-797).
+
+    ``x``: (..., 20, 10000) raw parquet rows (EEG_COLUMNS order, µV).
+    Returns (..., 1, 37, 3000) float32 model input.
+
+    Chain: bandpass 0.5–20 Hz → NaN repair → +18 bipolar differentials →
+    denoise (order-6 bandpass, 4-tap flat rolling mean, ::4 decimate) →
+    per-channel z-score → channel select (19+18) → pad to 3000 → add the
+    leading singleton "image" channel.
+    """
+    fs = float(signal.sampling_rate)
+    bp1 = iir.butter_bandpass(cfg.bandpass.low, cfg.bandpass.high, fs,
+                              cfg.first_bandpass_order)
+    x = iir.lfilter(bp1, x, axis=-1)
+    x = nanfix.nan_to_channel_mean(x, axis=-1)
+    x = montage.bipolar_differential(x)                     # (..., 38, T)
+    bp2 = iir.butter_bandpass(cfg.bandpass.low, cfg.bandpass.high, fs,
+                              cfg.denoise_bandpass_order)
+    y = iir.lfilter(bp2, x, axis=-1)
+    y = resample.rolling_mean4_flat(y)
+    y = resample.decimate(y, cfg.decimate_stride, axis=-1, drop_last=True)
+    y = normalize.zscore(y, axis=-1, eps=cfg.zscore_eps)
+    y = montage.select_and_map_channels(y)                  # (..., 37, T/4)
+    y = resample.pad_or_truncate(y, signal.fixed_length)
+    return y[..., None, :, :]                               # (..., 1, 37, 3000)
+
+
+def mirror_eeg(x: jnp.ndarray) -> jnp.ndarray:
+    """Left/right hemisphere swap augmentation (XAI_Multimodality.py:880-884).
+    ``x``: (..., 20, T) in EEG_COLUMNS order."""
+    f2i = C.feature_to_index()
+    idx1 = [f2i[ch] for ch in C.LL + C.LP]
+    idx2 = [f2i[ch] for ch in C.RL + C.RP]
+    perm = np.arange(x.shape[-2])
+    perm[idx1], perm[idx2] = perm[idx2], perm[idx1].copy()
+    return x[..., perm, :]
+
+
+# ---------------------------------------------------------------------------
+# HMS spectrogram chain
+# ---------------------------------------------------------------------------
+
+def hms_spectrogram_preprocess(spec: jnp.ndarray,
+                               cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
+                               signal: C.SignalConfig = C.SignalConfig(),
+                               ) -> jnp.ndarray:
+    """Batched ``HMS_Spectrogram_Dataset`` chain (XAI_Multimodality.py:705-737).
+
+    ``spec``: (..., 400, 300) — the offset-cropped, transposed Kaggle
+    spectrogram (cropping happens host-side in the loader since it is pure
+    indexing).  Returns (..., 3, 400, 300) float32.
+
+    Chain: NaN repair → baseline correction (column-mean subtract) → 60 Hz
+    notch ``filtfilt`` down the time axis → Gaussian σ=1 smooth → min-max →
+    (anti-aliased identity resize is a no-op at the target size, elided) →
+    tile to 3 channels.
+    """
+    x = resample.pad_or_truncate(spec, tuple(signal.image_size))
+    x = nanfix.nan_to_channel_mean(x, axis=-1)
+    x = normalize.baseline_correction(x, axis=-2)
+    notch = iir.iirnotch(cfg.notch_freq_hz, cfg.notch_quality,
+                         float(signal.sampling_rate))
+    x = iir.filtfilt(notch, x, axis=-2)
+    x = smooth.gaussian_smooth2d(x, cfg.gaussian_sigma)
+    # per-sample min-max over the full (H, W) plane
+    mn = jnp.min(x, axis=(-2, -1), keepdims=True)
+    mx = jnp.max(x, axis=(-2, -1), keepdims=True)
+    x = (x - mn) / (mx - mn + 1e-6)
+    return jnp.repeat(x[..., None, :, :], 3, axis=-3)       # (..., 3, H, W)
+
+
+def preprocess_multimodal(raw_eeg: jnp.ndarray, raw_spec: jnp.ndarray,
+                          cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
+                          signal: C.SignalConfig = C.SignalConfig()):
+    """Both branches of the CombinedDataset (XAI_Multimodality.py:1114-1307)
+    as a single fused program."""
+    return (hms_eeg_preprocess(raw_eeg, cfg, signal),
+            hms_spectrogram_preprocess(raw_spec, cfg, signal))

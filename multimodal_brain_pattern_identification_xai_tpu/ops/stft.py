@@ -1,0 +1,89 @@
+"""Batched STFT — on-device replacement for the reference's per-(batch,
+channel) Python loop over ``scipy.signal.stft`` + per-bin ``np.interp``
+(``compute_stft``, DiffEEG_utils.py:27-76 — hot loop #3 of the survey,
+a device→host→device round trip every DiffEEG micro-batch).
+
+Semantics match ``scipy.signal.stft(fs, nperseg, noverlap, window='hann',
+boundary='zeros', padded=True, detrend=False)``: periodic Hann window,
+``nperseg//2`` zero extension at both ends, zero-padding to a whole number
+of hops, and ``1/sum(window)`` scaling.  Everything is vmapped over
+(batch, channel) lanes and the framing is a static gather, so the whole
+conditioner (STFT → log1p → time-interp → min-max) fuses into one XLA
+program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _hann_periodic(n: int) -> np.ndarray:
+    """Periodic Hann window, = scipy.signal.get_window('hann', n)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float64)
+
+
+def stft(x: jnp.ndarray, fs: float = 200.0, nperseg: int = 64,
+         noverlap: int = 32) -> Tuple[np.ndarray, np.ndarray, jnp.ndarray]:
+    """STFT along the last axis.
+
+    Returns ``(f, t, Zxx)`` with ``f``/``t`` as host numpy (static) and
+    ``Zxx`` complex with shape ``(..., nperseg//2 + 1, n_frames)``.
+    """
+    hop = nperseg - noverlap
+    T = x.shape[-1]
+    # boundary='zeros' extension + padded=True tail padding.
+    lead = nperseg // 2
+    ext = T + nperseg            # lead + T + lead
+    tail_extra = (-(ext - nperseg)) % hop
+    total = ext + tail_extra
+    n_frames = (total - nperseg) // hop + 1
+
+    pads = [(0, 0)] * (x.ndim - 1) + [(lead, lead + tail_extra)]
+    xp = jnp.pad(x, pads)
+
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(nperseg)[None, :])           # (n_frames, nperseg)
+    frames = xp[..., idx]                            # (..., n_frames, nperseg)
+
+    win = _hann_periodic(nperseg)
+    w = jnp.asarray(win, x.dtype)
+    spec = jnp.fft.rfft(frames * w, axis=-1)         # (..., n_frames, F)
+    spec = spec * (1.0 / win.sum())
+    Zxx = jnp.swapaxes(spec, -1, -2)                 # (..., F, n_frames)
+
+    f = np.fft.rfftfreq(nperseg, d=1.0 / fs)
+    t = (np.arange(nperseg / 2, total - nperseg / 2 + 1, hop) - nperseg / 2) / fs
+    return f, t, Zxx
+
+
+def stft_log1p_interp(x: jnp.ndarray, out_t: int = 2000, fs: float = 200.0,
+                      nperseg: int = 64, noverlap: int = 32,
+                      eps: float = 1e-8) -> jnp.ndarray:
+    """Full DiffEEG STFT conditioner (DiffEEG_utils.py:27-76), batched:
+
+    ``log1p(|STFT|)`` → linear interpolation of each frequency bin onto a
+    uniform ``out_t``-point grid spanning ``[0, t[-1]]`` → per-(lane, bin)
+    min-max normalization over time.
+
+    ``x``: (..., T) → (..., nperseg//2+1, out_t).
+    """
+    _, t, Zxx = stft(x, fs, nperseg, noverlap)
+    S = jnp.log1p(jnp.abs(Zxx))                      # (..., F, n_frames)
+
+    # Both grids are uniform from 0, so interp is a static lerp gather.
+    n_frames = S.shape[-1]
+    tgt = np.linspace(0.0, t[-1], out_t)
+    pos = tgt / (t[1] - t[0])                        # fractional frame index
+    lo = np.clip(np.floor(pos).astype(np.int32), 0, n_frames - 1)
+    hi = np.clip(lo + 1, 0, n_frames - 1)
+    frac = jnp.asarray((pos - lo).astype(np.float32), S.dtype)
+    S_i = S[..., lo] * (1.0 - frac) + S[..., hi] * frac  # (..., F, out_t)
+
+    mn = jnp.min(S_i, axis=-1, keepdims=True)
+    mx = jnp.max(S_i, axis=-1, keepdims=True)
+    return (S_i - mn) / (mx - mn + eps)

@@ -1,0 +1,101 @@
+"""Golden tests: on-device IIR filters vs scipy (SURVEY.md §4 layer 1)."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import multimodal_brain_pattern_identification_xai_tpu.ops.iir as iir
+
+
+def _rel_err(a, b):
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
+
+
+@pytest.mark.parametrize("design,kw", [
+    ("lowpass", dict(cutoff=20.0, fs=200.0, order=4)),
+    ("bandpass", dict(low=0.5, high=20.0, fs=200.0, order=2)),
+    ("bandpass", dict(low=0.5, high=20.0, fs=200.0, order=5)),
+    ("bandpass", dict(low=0.5, high=20.0, fs=200.0, order=6)),
+    ("notch", dict(freq=60.0, quality=30.0, fs=200.0)),
+])
+def test_design_matches_scipy(design, kw):
+    if design == "lowpass":
+        c = iir.butter_lowpass(**kw)
+        b, a = sps.butter(kw["order"], kw["cutoff"] / (0.5 * kw["fs"]), btype="low")
+    elif design == "bandpass":
+        c = iir.butter_bandpass(**kw)
+        nyq = 0.5 * kw["fs"]
+        b, a = sps.butter(kw["order"], [kw["low"] / nyq, kw["high"] / nyq], btype="band")
+    else:
+        c = iir.iirnotch(**kw)
+        b, a = sps.iirnotch(kw["freq"], kw["quality"], kw["fs"])
+    np.testing.assert_allclose(np.asarray(c.b), b, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(c.a), a, rtol=1e-12)
+
+
+@pytest.mark.parametrize("order,block", [(2, None), (2, 128), (4, None),
+                                         (4, 128), (5, 128), (6, None),
+                                         (6, 64), (6, 200)])
+def test_lfilter_bandpass_matches_scipy(rng, order, block):
+    """Golden vs float64 scipy.
+
+    The SOS cascade is the golden reference: at order ≥ 6 scipy's *own*
+    float64 direct-form ``lfilter(b, a)`` deviates ~4e-3 from float64
+    ``sosfilt`` because the transfer-function representation is itself
+    ill-conditioned; the cascade is the numerically correct answer, so we
+    pin tightly to ``sosfilt`` and only loosely to ``lfilter``.
+    """
+    if order == 4:
+        coeffs = iir.butter_lowpass(20.0, 200.0, 4)
+    else:
+        coeffs = iir.butter_bandpass(0.5, 20.0, 200.0, order)
+    x = rng.standard_normal((3, 5, 2000)).astype(np.float32) * 50
+    ref_sos = sps.sosfilt(np.asarray(coeffs.sos), x.astype(np.float64), axis=-1)
+    ref_tf = sps.lfilter(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                         x.astype(np.float64), axis=-1)
+    got = np.asarray(iir.lfilter(coeffs, x, axis=-1, block_size=block))
+    assert _rel_err(got, ref_sos) < 2e-4
+    assert _rel_err(got, ref_tf) < 1e-2
+
+
+def test_lfilter_axis_argument(rng):
+    coeffs = iir.butter_lowpass(20.0, 200.0, 4)
+    x = rng.standard_normal((500, 7)).astype(np.float32)
+    ref = sps.lfilter(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                      x.astype(np.float64), axis=0)
+    got = np.asarray(iir.lfilter(coeffs, x, axis=0))
+    assert _rel_err(got, ref) < 2e-3
+
+
+def test_block_parallel_equals_sequential(rng):
+    coeffs = iir.butter_bandpass(0.5, 20.0, 200.0, 6)
+    x = rng.standard_normal((4, 10_000)).astype(np.float32)
+    seq = np.asarray(iir.lfilter(coeffs, x, block_size=None))
+    blk = np.asarray(iir.lfilter(coeffs, x, block_size=128))
+    assert _rel_err(blk, seq) < 1e-4
+
+
+def test_block_size_not_dividing_length(rng):
+    coeffs = iir.butter_bandpass(0.5, 20.0, 200.0, 2)
+    x = rng.standard_normal((2, 777)).astype(np.float32)
+    seq = np.asarray(iir.lfilter(coeffs, x, block_size=None))
+    blk = np.asarray(iir.lfilter(coeffs, x, block_size=128))
+    assert _rel_err(blk, seq) < 1e-4
+
+
+def test_filtfilt_notch_matches_scipy(rng):
+    coeffs = iir.iirnotch(60.0, 30.0, 200.0)
+    x = (rng.standard_normal((6, 400)) * 10).astype(np.float32)
+    ref = sps.filtfilt(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                       x.astype(np.float64), axis=-1)
+    got = np.asarray(iir.filtfilt(coeffs, x, axis=-1))
+    assert _rel_err(got, ref) < 1e-3
+
+
+def test_filtfilt_axis0(rng):
+    coeffs = iir.iirnotch(60.0, 30.0, 200.0)
+    x = (rng.standard_normal((400, 6)) * 3).astype(np.float32)
+    ref = sps.filtfilt(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                       x.astype(np.float64), axis=0)
+    got = np.asarray(iir.filtfilt(coeffs, x, axis=0))
+    assert _rel_err(got, ref) < 1e-3
