@@ -1,0 +1,44 @@
+"""Model zoo — flax re-implementations of the reference classifier zoo
+(models.py:42-966), the notebook variants, the DiffEEG denoiser and the
+spectrogram encoders, plus a name registry mirroring SURVEY.md §2.C/§2.D."""
+
+from typing import Any, Callable, Dict
+
+from .deepconvnet import DeepConvNet  # noqa: F401
+from .diffeeg import (DiffEEG, DiffEEGSanityCheck, GTU,  # noqa: F401
+                      recombine_spectrograms, sinusoidal_embedding)
+from .eegnet import (EEGNet, EEGNetAttentionDeep,  # noqa: F401
+                     EEGNetAttentionRegularized, EEGNetResidual,
+                     EEGNetResidualLSTM, EEGNetTransformer,
+                     EEGSeizureDetectionModel)
+from .efficientnet import EfficientNetB0  # noqa: F401
+from .fusion import MultimodalModel  # noqa: F401
+from .speccnn import SpectrogramCNN  # noqa: F401
+from .vit import SpectrogramViT  # noqa: F401
+from .wavenet import (DilatedInception, DilatedInceptionWaveNet,  # noqa: F401
+                      GatedTCN, WaveBlock)
+
+#: name → constructor, for config-driven model selection.
+REGISTRY: Dict[str, Callable[..., Any]] = {
+    "eegnet": EEGNet,
+    "eegnet_attention_deep": EEGNetAttentionDeep,
+    "eegnet_attention_regularized": EEGNetAttentionRegularized,
+    "eegnet_residual": EEGNetResidual,
+    "eegnet_residual_lstm": EEGNetResidualLSTM,
+    "eegnet_transformer": EEGNetTransformer,
+    "eeg_seizure_detection": EEGSeizureDetectionModel,
+    "deepconvnet": DeepConvNet,
+    "wavenet": DilatedInceptionWaveNet,
+    "spectrogram_cnn": SpectrogramCNN,
+    "spectrogram_vit": SpectrogramViT,
+    "efficientnet_b0": EfficientNetB0,
+    "diffeeg": DiffEEG,
+}
+
+
+def build(name: str, **kwargs: Any) -> Any:
+    """Instantiate a model by registry name."""
+    try:
+        return REGISTRY[name](**kwargs)
+    except KeyError:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(REGISTRY)}")

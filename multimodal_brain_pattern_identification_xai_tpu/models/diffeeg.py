@@ -1,0 +1,182 @@
+"""DiffEEG denoiser — class- and spectrogram-conditioned noise predictor
+(reference root/src/models/diffEEG.py:9-145, after arXiv:2306.08256).
+
+Topology kept 1:1 (sinusoidal step embedding + 3-layer MLP, class
+embedding, ConvTranspose spectrogram upsampler + GTU gate, 1×1 input
+projection, four dilated residual conv blocks, skip-sum + GroupNorm, final
+projection), re-expressed on (B, T, C) channel-last tensors.  The
+reference wraps each residual block in ``torch.utils.checkpoint``
+(diffEEG.py:126-129) to trade FLOPs for memory; the JAX counterpart is
+``jax.checkpoint`` (remat) applied in the training step, not baked into
+the module.
+
+Same-class spectrogram mixup at train time (``recombine_spectrograms``,
+diffEEG.py:136-145) is a pure function here, driven by an explicit PRNG
+key from the trainer.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as C
+
+
+def sinusoidal_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """(B,) or (B,1) diffusion steps → (B, dim) sin/cos embedding
+    (diffEEG.py:90-94)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half) * (-np.log(10000.0) / (half - 1)))
+    ang = t.reshape(-1, 1) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class GTU(nn.Module):
+    """Gated Tanh Unit (diffEEG.py:9-18): tanh(conv1) ⊙ sigmoid(conv2)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T, C)
+        c = x.shape[-1]
+        return (jnp.tanh(nn.Conv(c, (1,), name="conv1")(x))
+                * nn.sigmoid(nn.Conv(c, (1,), name="conv2")(x)))
+
+
+class ResidualBlock(nn.Module):
+    """conv1×1 → ReLU → dilated conv3 → conv1×1 → GroupNorm(1) → Dropout
+    (diffEEG.py:82-90)."""
+    channels: int
+    dilation: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.channels, (1,), name="conv_in")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.channels, (3,), kernel_dilation=(self.dilation,),
+                    padding="SAME", name="conv_dil")(x)
+        x = nn.Conv(self.channels, (1,), name="conv_out")(x)
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class DiffEEG(nn.Module):
+    """Noise predictor ε̂(x_t, class, t, spectrogram).
+
+    Args at call:
+        x:    (B, n_channels, T) noisy EEG (reference layout).
+        y:    (B, n_classes) one-hot class labels.
+        t:    (B,) float diffusion steps.
+        spec: (B, n_channels, F, T_s) STFT conditioning spectrograms.
+    Returns (B, n_channels, T) predicted noise.
+    """
+    n_classes: int = 6
+    n_channels: int = 19
+    hidden: int = 32
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray,
+                 spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, _, T = x.shape
+        H = self.hidden
+
+        # === Step embedding ===  (diffEEG.py:35-41, 100-102)
+        se = sinusoidal_embedding(t.astype(jnp.float32), H)
+        se = nn.Dense(H, name="step_mlp_0")(se)
+        se = nn.sigmoid(se)
+        se = nn.Dense(H, name="step_mlp_2")(se)
+        se = nn.relu(se)
+        se = nn.Dense(H, name="step_mlp_4")(se)
+        step_emb = se[:, None, :]                        # (B, 1, H)
+
+        # === Class embedding ===  (diffEEG.py:44, 104-106)
+        labels = jnp.argmax(y, axis=-1)
+        class_emb = nn.Embed(self.n_classes, H, name="class_embedding")(labels)
+        class_emb = class_emb[:, None, :]                # (B, 1, H)
+
+        # === Spectrogram branch ===  (diffEEG.py:47-57, 108-117)
+        # (B, C, F, Ts) → NHWC (B, F, Ts, C)
+        s = jnp.transpose(spec, (0, 2, 3, 1))
+        s = nn.ConvTranspose(H // 2, (3, 3), strides=(1, 8),
+                             padding=((1, 1), (2, 2)),
+                             name="spectrogram_upsample1")(s)
+        s = nn.relu(s)                                   # (B, F, Ts', H/2)
+        b, f, ts, c = s.shape
+        # torch .flatten(start_dim=2) flattens (F, Ts') channel-major;
+        # equivalent sequence axis here with channel-last layout:
+        s = s.reshape(b, f * ts, c)                      # (B, L, H/2)
+        # F.interpolate(mode='linear', align_corners=False) onto T points.
+        s = jax.image.resize(s, (b, T, c), method="linear")
+        s = nn.Conv(H, (1,), name="channel_expand")(s)
+        s = nn.Conv(H, (1,), name="spectrogram_project")(s)
+        s = GTU(name="gtu")(s)                           # (B, T, H)
+
+        # === Input projection ===  (diffEEG.py:60, 120)
+        xt = jnp.swapaxes(x, -1, -2)                     # (B, T, C)
+        eeg_proj = nn.Conv(H, (1,), name="input_conv")(xt)
+
+        # === Combine ===  (diffEEG.py:122-123)
+        h = eeg_proj + step_emb + class_emb + s
+
+        # === Residual stack ===  (diffEEG.py:62-67, 125-129)
+        h1 = ResidualBlock(H, 1, self.dropout, name="res_block1")(h, train)
+        h2 = ResidualBlock(H, 2, self.dropout, name="res_block2")(h1, train)
+        h3 = ResidualBlock(H, 4, self.dropout, name="res_block3")(h2, train)
+        h4 = ResidualBlock(H, 8, self.dropout, name="res_block4")(h3, train)
+
+        h = nn.Conv(H, (1,), name="skip_sum")(h1 + h2 + h3 + h4)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="layer_norm")(h)
+
+        # === Final projection ===  (diffEEG.py:70-76, 134)
+        h = nn.Conv(H, (1,), name="final_0")(h)
+        h = nn.relu(h)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="final_norm")(h)
+        h = nn.Conv(self.n_channels, (1,), name="final_out")(h)
+        return jnp.swapaxes(h, -1, -2)                   # (B, C, T)
+
+
+def recombine_spectrograms(key: jax.Array, spectrograms: jnp.ndarray,
+                           labels: jnp.ndarray, n_classes: int = 6,
+                           alpha: float = 0.5) -> jnp.ndarray:
+    """Same-class spectrogram mixup (diffEEG.py:136-145), vectorized.
+
+    For each sample, mixes its spectrogram with one drawn from the same
+    class: ``α·spec[i] + (1−α)·spec[perm(i)]`` where ``perm`` permutes
+    within each class.  Implemented with a masked Gumbel-top-k trick so the
+    whole thing stays jittable with static shapes.
+    """
+    B = spectrograms.shape[0]
+    # Random scores; per class, sort member indices by score → a random
+    # permutation *within* each class, identity across classes.
+    scores = jax.random.uniform(key, (B,))
+    # Order samples by (label, score): members of a class get shuffled.
+    order = jnp.lexsort((scores, labels))
+    # For each consecutive run of equal labels in `order`, roll by one to
+    # derive a same-class partner (single-member classes map to themselves).
+    lab_sorted = labels[order]
+    left = jnp.roll(order, 1)
+    left_ok = jnp.roll(lab_sorted, 1) == lab_sorted
+    partner_sorted = jnp.where(left_ok, left, order)
+    partner = jnp.zeros_like(partner_sorted).at[order].set(partner_sorted)
+    mixed = alpha * spectrograms + (1 - alpha) * spectrograms[partner]
+    return mixed
+
+
+class DiffEEGSanityCheck(nn.Module):
+    """MLP autoencoder used by the reference for MNIST sanity training
+    (diffEEG.py:151-212) — retained as a smoke-test model."""
+    input_dim: int = 784
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b = x.shape[0]
+        h = x.reshape(b, -1)
+        h = nn.relu(nn.Dense(self.hidden, name="enc1")(h))
+        h = nn.relu(nn.Dense(self.hidden // 2, name="enc2")(h))
+        h = nn.relu(nn.Dense(self.hidden, name="dec1")(h))
+        out = nn.Dense(self.input_dim, name="dec2")(h)
+        return out.reshape(x.shape)

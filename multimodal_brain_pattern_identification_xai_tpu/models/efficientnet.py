@@ -1,0 +1,97 @@
+"""EfficientNet-B0 spectrogram encoder (BASELINE.json config #1; the
+reference's CFG mentions the efficientnet preset family, main_2.py:37-51).
+
+Standard B0 topology (MBConv with squeeze-excite, SiLU), NHWC, BatchNorm
+with torch-compatible eps/momentum.  No pretrained weights are bundled
+(zero-egress environment); the architecture trains from scratch or accepts
+converted weights.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import batch_norm, log_softmax, nchw_to_nhwc
+
+# (expand_ratio, channels, repeats, stride, kernel)
+B0_STAGES = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+
+class SqueezeExcite(nn.Module):
+    reduced: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.silu(nn.Conv(self.reduced, (1, 1), name="reduce")(s))
+        s = nn.sigmoid(nn.Conv(x.shape[-1], (1, 1), name="expand")(s))
+        return x * s
+
+
+class MBConv(nn.Module):
+    expand_ratio: int
+    out_channels: int
+    stride: int
+    kernel: int
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        inp = x.shape[-1]
+        mid = inp * self.expand_ratio
+        identity = x
+        if self.expand_ratio != 1:
+            x = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.silu(batch_norm(train)(x))
+        x = nn.Conv(mid, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=mid, use_bias=False,
+                    name="depthwise_conv")(x)
+        x = nn.silu(batch_norm(train)(x))
+        x = SqueezeExcite(max(1, int(inp * self.se_ratio)), name="se")(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    name="project_conv")(x)
+        x = batch_norm(train)(x)
+        if self.stride == 1 and inp == self.out_channels:
+            if self.drop_rate > 0:
+                x = nn.Dropout(self.drop_rate, deterministic=not train,
+                               broadcast_dims=(1, 2, 3))(x)
+            x = x + identity
+        return x
+
+
+class EfficientNetB0(nn.Module):
+    """Input (B, 3, H, W) NCHW → (B, num_classes) log-probs."""
+    num_classes: int = 6
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nchw_to_nhwc(x)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, name="stem_conv")(x)
+        x = nn.silu(batch_norm(train)(x))
+        for si, (e, c, r, s, k) in enumerate(B0_STAGES):
+            for ri in range(r):
+                x = MBConv(e, c, s if ri == 0 else 1, k,
+                           name=f"stage{si}_block{ri}")(x, train)
+        x = nn.Conv(1280, (1, 1), use_bias=False, name="head_conv")(x)
+        x = nn.silu(batch_norm(train)(x))
+        self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, name="classifier")(x)
+        return log_softmax(x)

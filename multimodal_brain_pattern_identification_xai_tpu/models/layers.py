@@ -1,0 +1,167 @@
+"""Shared building blocks for the model zoo.
+
+Conventions (TPU-native):
+
+* Public model ``__call__`` signatures accept the reference's NCHW layouts
+  — EEG ``(B, 1, 37, 3000)``, spectrogram ``(B, 3, 400, 300)`` — for API
+  parity, and immediately move to NHWC internally (XLA's preferred conv
+  layout on TPU; the ingress transpose fuses away).
+* BatchNorm matches torch defaults (eps 1e-5, momentum 0.1 → flax
+  ``momentum=0.9``); running stats live in the ``batch_stats`` collection.
+* ``flatten_nchw`` reproduces torch's channel-major flatten ordering so
+  dense-layer weights are layout-compatible with the reference.
+* Models expose ``features(x)`` / ``head(feats)`` split points so the XAI
+  stack (Grad-CAM et al.) can differentiate w.r.t. feature maps without
+  framework hooks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch-compatible defaults
+BN = lambda: nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5)
+
+
+def batch_norm(train: bool) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5)
+
+
+def nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def flatten_nchw(x_nhwc: jnp.ndarray) -> jnp.ndarray:
+    """Flatten an NHWC tensor in torch's NCHW element order."""
+    b = x_nhwc.shape[0]
+    return nhwc_to_nchw(x_nhwc).reshape(b, -1)
+
+
+def avg_pool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
+    """torch AvgPool2d(window) — stride = window, VALID (floor) semantics."""
+    return nn.avg_pool(x, window, strides=window, padding="VALID")
+
+
+def max_pool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
+    return nn.max_pool(x, window, strides=window, padding="VALID")
+
+
+def adaptive_avg_pool_1x1(x_nhwc: jnp.ndarray) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d((1,1)): global mean over H, W."""
+    return jnp.mean(x_nhwc, axis=(1, 2))
+
+
+def log_softmax(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.log_softmax(x, axis=-1)
+
+
+class Attention(nn.Module):
+    """Single-head scaled-dot attention over a token axis
+    (reference ``Attention``, models.py:109-135).
+
+    Input (B, L, D_in) → (output (B, L, D_attn), weights (B, L, L)).
+    """
+    attention_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        q = nn.Dense(self.attention_dim, name="query")(x)
+        k = nn.Dense(self.attention_dim, name="key")(x)
+        v = nn.Dense(self.attention_dim, name="value")(x)
+        scores = jnp.einsum("bld,bmd->blm", q, k) * self.attention_dim ** -0.5
+        weights = jax.nn.softmax(scores, axis=-1)
+        self.sow("intermediates", "attention_weights", weights)
+        out = jnp.einsum("blm,bmd->bld", weights, v)
+        return out, weights
+
+
+class SpectrogramBlock(nn.Module):
+    """The 5-block spectrogram CNN's building block (models.py:42-77):
+    3× conv3x3+ReLU → pool → BN → dropout, with a bilinear-resized
+    1×1-conv skip connection.  NHWC."""
+    out_channels: int
+    pool_type: str = "max"
+    pool_size: Tuple[int, int] = (2, 2)
+    dropout_p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        for i in range(3):
+            x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                        name=f"conv{i+1}")(x)
+            x = nn.relu(x)
+        pool = max_pool if self.pool_type == "max" else avg_pool
+        x = pool(x, self.pool_size)
+        x = batch_norm(train)(x)
+        x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+        if identity.shape != x.shape:
+            identity = jax.image.resize(
+                identity, identity.shape[:1] + x.shape[1:3] + identity.shape[3:],
+                method="bilinear")  # align_corners=False semantics
+            identity = nn.Conv(self.out_channels, (1, 1), name="conv1x1")(identity)
+        return x + identity
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (torch ``TransformerEncoderLayer``
+    defaults: ReLU feed-forward 2048, post-norm), batch-first.
+
+    The reference feeds a single flattened token (models.py:617-619); this
+    layer handles arbitrary (B, L, D) and sows attention weights for
+    attention-rollout XAI.
+    """
+    d_model: int
+    n_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, qkv_features=self.d_model,
+            dropout_rate=self.dropout, deterministic=not train,
+            name="self_attn")
+        # sow weights for rollout: recompute cheaply via sow inside module
+        a = attn(x, x, sow_weights=True)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(a))
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(h))
+        return x
+
+
+class LSTM(nn.Module):
+    """Unidirectional LSTM over (B, T, D) returning full sequence, matching
+    torch ``nn.LSTM(batch_first=True)`` output conventions."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="rnn")
+        return rnn(x)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM, concatenated hidden states."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
+                     keep_order=True, name="bwd")
+        return jnp.concatenate([fwd(x), bwd(x)], axis=-1)

@@ -1,0 +1,148 @@
+"""Model-zoo forward-shape + gradient-finiteness tests (SURVEY.md §4
+layer 2).  Small input sizes keep CPU runtime sane; full-size shapes are
+covered by the benchmark and graft entry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_brain_pattern_identification_xai_tpu import models
+
+EEG_SHAPE = (2, 1, 37, 384)      # scaled-down Samples (multiple of 64)
+SPEC_SHAPE = (2, 3, 64, 48)
+
+EEG_MODELS = [
+    ("eegnet", {"samples": 384}),
+    ("eegnet_attention_deep", {"samples": 384}),
+    ("eegnet_attention_regularized", {"samples": 384}),
+    ("eegnet_residual", {"samples": 384}),
+    ("eegnet_residual_lstm", {"samples": 384}),
+    ("eegnet_transformer", {"samples": 384}),
+    ("eeg_seizure_detection", {"samples": 384}),
+    # DeepConvNet's four VALID (1,10)+pool4 stages need ≥~1024 samples
+    ("deepconvnet", {"samples": 3000}),
+]
+
+SPEC_MODELS = [
+    ("spectrogram_cnn", {}),
+    ("efficientnet_b0", {}),
+    ("spectrogram_vit", {"image_size": (64, 48), "dim": 64, "depth": 2,
+                         "n_heads": 4, "mlp_dim": 128}),
+]
+
+
+def _init_and_run(model, *args):
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key}, *args)
+    out = model.apply(variables, *args)
+    return variables, out
+
+
+@pytest.mark.parametrize("name,kw", EEG_MODELS)
+def test_eeg_model_forward(name, kw, rng):
+    model = models.build(name, **kw)
+    shape = EEG_SHAPE[:3] + (kw["samples"],)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    variables, out = _init_and_run(model, x)
+    assert out.shape == (2, 6)
+    if name != "deepconvnet":  # all but wavenet/deepconv emit log-probs
+        pass
+    # log-softmax outputs sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("name,kw", SPEC_MODELS)
+def test_spec_model_forward(name, kw, rng):
+    model = models.build(name, **kw)
+    x = jnp.asarray(rng.standard_normal(SPEC_SHAPE), jnp.float32)
+    variables, out = _init_and_run(model, x)
+    assert out.shape == (2, 6)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_wavenet_forward_and_sharing(rng):
+    model = models.build("wavenet", block_layers=(3, 2), block_dims=(8, 8))
+    x = jnp.asarray(rng.standard_normal((2, 256, 8)), jnp.float32)
+    variables, out = _init_and_run(model, x)
+    assert out.shape == (2, 6)           # raw logits, no softmax
+    # weight sharing: the wave blocks appear once (folded channels→batch)
+    names = list(variables["params"].keys())
+    assert sum(n.startswith("wave_block") for n in names) == 2
+    # dict input API parity
+    out2 = model.apply(variables, {"x": x})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_multimodal_model(rng):
+    eeg = models.EEGNet(samples=384)
+    spec = models.SpectrogramCNN()
+    mm = models.MultimodalModel(eeg_model=eeg, spectrogram_model=spec)
+    xe = jnp.asarray(rng.standard_normal(EEG_SHAPE), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal(SPEC_SHAPE), jnp.float32)
+    variables = mm.init(jax.random.PRNGKey(0), xe, xs)
+    out = mm.apply(variables, xe, xs)
+    assert out.shape == (2, 6)
+    spec_only = mm.apply(variables, xs, method=mm.forward_spectrogram)
+    assert spec_only.shape == (2, 6)
+    eeg_only = mm.apply(variables, xe, method=mm.forward_eeg)
+    assert eeg_only.shape == (2, 6)
+
+
+def test_gradients_finite(rng):
+    """Gradient-finiteness through a representative model."""
+    model = models.EEGNet(samples=384)
+    x = jnp.asarray(rng.standard_normal(EEG_SHAPE), jnp.float32)
+    y = jax.nn.one_hot(jnp.array([1, 4]), 6)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params):
+        logp = model.apply({**variables, "params": params}, x)
+        return -jnp.mean(jnp.sum(y * logp, axis=-1))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+
+def test_diffeeg_denoiser_forward(rng):
+    model = models.DiffEEG(n_channels=4, hidden=8)
+    x = jnp.asarray(rng.standard_normal((2, 4, 128)), jnp.float32)
+    y = jax.nn.one_hot(jnp.array([0, 3]), 6)
+    t = jnp.array([10.0, 500.0])
+    spec = jnp.asarray(rng.standard_normal((2, 4, 9, 16)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, y, t, spec)
+    out = model.apply(variables, x, y, t, spec)
+    assert out.shape == (2, 4, 128)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_recombine_spectrograms_same_class_mixup(rng):
+    specs = jnp.asarray(rng.standard_normal((6, 2, 3, 4)), jnp.float32)
+    labels = jnp.array([0, 0, 1, 1, 1, 2])
+    mixed = models.recombine_spectrograms(jax.random.PRNGKey(0), specs, labels)
+    m = np.asarray(mixed)
+    s = np.asarray(specs)
+    # class 2 has a single member → unchanged
+    np.testing.assert_allclose(m[5], s[5], rtol=1e-6)
+    # every mixed sample must be an average of two same-class members
+    for i, lab in enumerate([0, 0, 1, 1, 1]):
+        members = [j for j in range(6) if int(labels[j]) == lab]
+        ok = any(np.allclose(m[i], 0.5 * s[i] + 0.5 * s[j], atol=1e-5)
+                 for j in members)
+        assert ok, i
+
+
+def test_batchnorm_updates_running_stats(rng):
+    model = models.EEGNet(samples=384)
+    x = jnp.asarray(rng.standard_normal(EEG_SHAPE), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, mutated = model.apply(
+        variables, x, True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(after, before))
