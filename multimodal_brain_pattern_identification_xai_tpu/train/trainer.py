@@ -1,0 +1,146 @@
+"""Epoch-loop trainer (reference ``_BaseTrainer``/``MainTrainer``,
+training_utils.py:350-736): epoch loop → jitted train steps → jitted eval
+→ LR schedule step (per-batch or per-epoch, incl. plateau) → metric-gated
+checkpointing → final eval with the best checkpoint.
+
+The data interface is a host-side iterator of numpy batch dicts
+({"x"| "eeg"+"spec", "y"}) — see :mod:`..data.loader` for the pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import CheckpointManager
+from .metrics import Evaluator
+from .schedules import ReduceLROnPlateau
+from .state import TrainState, set_learning_rate
+from .steps import make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 50
+    ckpt_metric: str = "kldiv"
+    ckpt_mode: str = "min"
+    es_patience: int = 0              # 0 → no early stop (cfg_utils.py:124)
+    step_per_batch: bool = True
+    l2_lambda: float = 0.0
+    lr_schedule: Optional[Callable[[int], float]] = None   # step/epoch → lr
+    plateau: Optional[ReduceLROnPlateau] = None
+    eval_metrics: tuple = ("kldiv", "ce", "accuracy", "f1")
+    log_every: int = 50
+    seed: int = 42
+
+
+class Trainer:
+    def __init__(self, state: TrainState, cfg: TrainerConfig,
+                 ckpt_dir: Optional[str] = None,
+                 loggers: Optional[List[Any]] = None) -> None:
+        self.state = state
+        self.cfg = cfg
+        self.train_step = make_train_step(l2_lambda=cfg.l2_lambda)
+        self.eval_step = make_eval_step()
+        self.evaluator = Evaluator(list(cfg.eval_metrics))
+        self.ckpt = (CheckpointManager(ckpt_dir, cfg.ckpt_metric,
+                                       cfg.ckpt_mode)
+                     if ckpt_dir else None)
+        self.loggers = loggers or []
+        self.history: Dict[str, List[float]] = {"train_loss": [],
+                                                "val_loss": []}
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+
+    def _maybe_set_lr(self, counter: int) -> None:
+        if self.cfg.lr_schedule is not None:
+            self.state = set_learning_rate(
+                self.state, float(self.cfg.lr_schedule(counter)))
+
+    def train_epoch(self, train_iter: Iterable[Dict[str, np.ndarray]],
+                    epoch: int) -> float:
+        losses = []
+        for i, batch in enumerate(train_iter):
+            if self.cfg.step_per_batch:
+                self._maybe_set_lr(int(self.state.step))
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            losses.append(metrics["loss"])
+            if i % self.cfg.log_every == 0:
+                for lg in self.loggers:
+                    lg.log_loss(float(metrics["loss"]), int(self.state.step))
+        return float(jnp.mean(jnp.stack(losses)))
+
+    def eval_epoch(self, val_iter: Iterable[Dict[str, np.ndarray]]):
+        all_logits, all_targets, losses = [], [], []
+        for batch in val_iter:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            logits, loss = self.eval_step(self.state, batch)
+            all_logits.append(np.asarray(logits))
+            all_targets.append(np.asarray(batch["y"]))
+            losses.append(float(loss))
+        y_pred = jnp.asarray(np.concatenate(all_logits))
+        y_true = jnp.asarray(np.concatenate(all_targets))
+        result = self.evaluator.evaluate(y_true, y_pred)
+        return float(np.mean(losses)), result, np.asarray(y_pred)
+
+    # ------------------------------------------------------------------
+
+    def train_eval(self, train_loader: Callable[[], Iterable],
+                   val_loader: Callable[[], Iterable],
+                   fold: Optional[int] = None):
+        """Full loop (training_utils.py:414-454).  Loader args are
+        zero-arg callables returning fresh epoch iterators."""
+        best_metric = float("inf")
+        bad_epochs = 0
+        oof = None
+        for epoch in range(self.cfg.epochs):
+            t0 = time.time()
+            if not self.cfg.step_per_batch:
+                self._maybe_set_lr(epoch)
+            train_loss = self.train_epoch(train_loader(), epoch)
+            val_loss, val_result, preds = self.eval_epoch(val_loader())
+            if self.cfg.plateau is not None:
+                self.state = set_learning_rate(
+                    self.state, self.cfg.plateau.step(val_loss))
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+            last = epoch == self.cfg.epochs - 1
+            if self.ckpt is not None:
+                improved = self.ckpt.step(epoch, self.state, val_result, last)
+            else:
+                improved = val_result[self.cfg.ckpt_metric] < best_metric
+            score = val_result[self.cfg.ckpt_metric]
+            if score < best_metric:
+                best_metric = score
+                bad_epochs = 0
+                oof = preds
+            else:
+                bad_epochs += 1
+            msg = (f"[fold {fold}] " if fold is not None else "") + (
+                f"epoch {epoch}: train_loss={train_loss:.4f} "
+                f"val_loss={val_loss:.4f} "
+                + " ".join(f"{k}={v:.4f}" for k, v in val_result.items())
+                + f" ({time.time()-t0:.1f}s)")
+            logger.info(msg)
+            for lg in self.loggers:
+                lg.log_evaluation(val_result, epoch)
+            if self.cfg.es_patience and bad_epochs >= self.cfg.es_patience:
+                logger.info(f"early stop at epoch {epoch}")
+                break
+        # final eval with the best checkpoint (training_utils.py:532-556)
+        if self.ckpt is not None and self.ckpt.best_epoch >= 0:
+            self.state = self.ckpt.load_best(self.state)
+            _, final_result, oof = self.eval_epoch(val_loader())
+            logger.info("final (best ckpt): " +
+                        " ".join(f"{k}={v:.4f}" for k, v in final_result.items()))
+        return self.state, best_metric, oof

@@ -1,0 +1,137 @@
+"""Diffusion engine tests: schedules vs reference math, q-sample stats,
+scan-based reverse diffusion, EMA semantics, generation metrics
+(SURVEY.md §4 layer 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_brain_pattern_identification_xai_tpu import diffusion, models
+
+
+def test_schedules_match_reference_math():
+    betas = diffusion.linear_beta_schedule(1000)
+    ref_b = np.linspace(1e-4, 0.02, 1000, dtype=np.float32)
+    np.testing.assert_allclose(betas, ref_b)
+    alpha_bar, beta = diffusion.cosine_alpha_schedule(1000)
+    s = 0.008
+    f_t = np.cos((np.linspace(0, 1, 1000) + s) / (1 + s) * np.pi / 2) ** 2
+    np.testing.assert_allclose(alpha_bar, (f_t / f_t[0]).astype(np.float32),
+                               rtol=1e-6)
+    assert alpha_bar[0] == 1.0 and alpha_bar[-1] < 1e-3
+    np.testing.assert_allclose(beta, 1 - alpha_bar / alpha_bar[0], atol=1e-7)
+
+
+def test_q_sample_statistics(rng):
+    sched = diffusion.make_schedule(1000)
+    x0 = jnp.ones((512, 2, 16))
+    t = jnp.full((512,), 999)
+    x_t, noise = diffusion.q_sample(sched, jax.random.PRNGKey(0), x0, t)
+    # at t≈T, x_t ≈ noise: mean ~0, std ~1
+    assert abs(float(x_t.mean())) < 0.05
+    assert abs(float(x_t.std()) - 1.0) < 0.05
+    t0 = jnp.zeros((512,), jnp.int32)
+    x_0, _ = diffusion.q_sample(sched, jax.random.PRNGKey(1), x0, t0)
+    np.testing.assert_allclose(np.asarray(x_0), np.ones_like(x_0), atol=1e-4)
+
+
+def _tiny_denoiser():
+    model = models.DiffEEG(n_channels=2, hidden=8)
+    x0 = jnp.zeros((3, 2, 64))
+    y0 = jnp.zeros((3, 6))
+    t0 = jnp.zeros((3,))
+    s0 = jnp.zeros((3, 2, 9, 64))
+    variables = model.init(jax.random.PRNGKey(0), x0, y0, t0, s0)
+    return lambda x, y, t, s: model.apply(variables, x, y, t, s)
+
+
+def test_reverse_diffusion_scan_runs():
+    sched = diffusion.make_schedule(20)
+    den = _tiny_denoiser()
+    y = jax.nn.one_hot(jnp.array([0, 1, 2]), 6)
+    spec = jnp.zeros((3, 2, 9, 64))
+    x = diffusion.reverse_diffusion(sched, den, jax.random.PRNGKey(0), 3, y,
+                                    spec, (2, 64))
+    assert x.shape == (3, 2, 64)
+    assert np.all(np.isfinite(np.asarray(x)))
+    x2 = diffusion.ddpm_sample(sched, den, jax.random.PRNGKey(0), 3, y,
+                               spec, (2, 64))
+    assert np.all(np.isfinite(np.asarray(x2)))
+
+
+def test_nan_guard_freezes_state():
+    sched = diffusion.make_schedule(10)
+
+    def bad_denoiser(x, y, t, s):
+        # explodes at t == 5
+        return jnp.where(t[0] == 5, jnp.nan, 0.0) * x + 0.01
+
+    y = jnp.zeros((1, 6))
+    spec = jnp.zeros((1, 2, 9, 8))
+    x = diffusion.reverse_diffusion(sched, bad_denoiser,
+                                    jax.random.PRNGKey(0), 1, y, spec, (2, 8))
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_ema_warmup_and_decay():
+    params = {"w": jnp.ones(3)}
+    ema = diffusion.EMA.create(params, beta=0.5, step_start_ema=2,
+                               update_every=1)
+    new = {"w": jnp.zeros(3)}
+    # warmup: reset to online params
+    ema = diffusion.ema_update(ema, new, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 0.0)
+    ema = diffusion.EMA.create(params, beta=0.5, step_start_ema=0,
+                               update_every=1)
+    ema = diffusion.ema_update(ema, new, jnp.asarray(5))
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 0.5)
+    # not due → unchanged
+    ema = diffusion.EMA.create(params, beta=0.5, step_start_ema=0,
+                               update_every=10)
+    ema = diffusion.ema_update(ema, new, jnp.asarray(5))
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 1.0)
+
+
+def test_mmd_discriminates(rng):
+    a = jnp.asarray(rng.standard_normal((32, 4, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32, 4, 16)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((32, 4, 16)) + 3.0, jnp.float32)
+    near = float(diffusion.compute_mmd(a, b))
+    far = float(diffusion.compute_mmd(a, c))
+    assert near < far
+
+
+def test_frechet_matches_scipy_sqrtm(rng):
+    from scipy.linalg import sqrtm
+    a = rng.standard_normal((64, 6)).astype(np.float32)
+    b = (rng.standard_normal((64, 6)) * 2 + 1).astype(np.float32)
+    got = float(diffusion.compute_frechet_distance(jnp.asarray(a),
+                                                   jnp.asarray(b)))
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False) + 1e-6 * np.eye(6)
+    cb = np.cov(b, rowvar=False) + 1e-6 * np.eye(6)
+    cs, _ = sqrtm(ca @ cb, disp=False)
+    ref = float(np.sum((mu_a - mu_b) ** 2)
+                + np.trace(ca + cb - 2 * cs.real))
+    assert abs(got - ref) / abs(ref) < 1e-3
+
+
+def test_pearson_correlation_extremes(rng):
+    a = jnp.asarray(rng.standard_normal((8, 2, 32)), jnp.float32)
+    assert abs(float(diffusion.pearson_correlation(a, a)) - 1.0) < 1e-5
+    assert abs(float(diffusion.pearson_correlation(a, -a)) + 1.0) < 1e-5
+
+
+def test_generate_for_class_and_balance(rng):
+    sched = diffusion.make_schedule(5)
+    den = _tiny_denoiser()
+    out = diffusion.generate_for_class(sched, den, jax.random.PRNGKey(0),
+                                       class_id=2, n_samples=3, n_channels=2,
+                                       length=64, spec_shape=(9, 64))
+    assert out.shape == (3, 2, 64)
+    x = rng.standard_normal((10, 2, 8)).astype(np.float32)
+    y = np.array([0] * 7 + [1] * 3)
+    gen = {1: rng.standard_normal((10, 2, 8)).astype(np.float32)}
+    xa, ya = diffusion.augment_dataset_balanced(x, y, gen)
+    hard = ya.argmax(1)
+    assert (hard == 0).sum() == 7 and (hard == 1).sum() == 7

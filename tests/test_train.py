@@ -1,0 +1,164 @@
+"""Training-layer tests: losses vs torch semantics, metrics vs sklearn,
+schedules vs reference math, jitted step + trainer loop smoke, checkpoint
+roundtrip, determinism (SURVEY.md §4, §5.2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from multimodal_brain_pattern_identification_xai_tpu import models, train
+
+
+def _soft_targets(rng, n, c=6):
+    t = rng.random((n, c)).astype(np.float32)
+    return t / t.sum(1, keepdims=True)
+
+
+def test_kldiv_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    logits = rng.standard_normal((8, 6)).astype(np.float32)
+    targets = _soft_targets(rng, 8)
+    got = float(train.kldiv_with_logits(jnp.asarray(logits),
+                                        jnp.asarray(targets)))
+    tl = torch.tensor(logits)
+    tt = torch.tensor(targets)
+    ref = torch.nn.KLDivLoss(reduction="batchmean")(
+        F.log_softmax(tl, dim=1), tt).item()
+    assert abs(got - ref) < 1e-5
+
+
+def test_kldiv_idempotent_on_log_probs(rng):
+    logits = rng.standard_normal((8, 6)).astype(np.float32)
+    targets = _soft_targets(rng, 8)
+    logp = jax.nn.log_softmax(jnp.asarray(logits))
+    a = float(train.kldiv_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    b = float(train.kldiv_with_logits(logp, jnp.asarray(targets)))
+    assert abs(a - b) < 1e-5
+
+
+def test_macro_prf_matches_sklearn(rng):
+    from sklearn.metrics import precision_recall_fscore_support
+    y_true = rng.integers(0, 6, 200)
+    y_pred = rng.integers(0, 6, 200)
+    p, r, f = train.macro_precision_recall_f1(
+        jnp.asarray(y_pred), jnp.asarray(y_true), 6)
+    pr, rr, fr, _ = precision_recall_fscore_support(
+        y_true, y_pred, average="macro", zero_division=0)
+    assert abs(float(p) - pr) < 1e-5
+    assert abs(float(r) - rr) < 1e-5
+    assert abs(float(f) - fr) < 1e-4
+
+
+def test_confusion_matrix(rng):
+    y_true = np.array([0, 0, 1, 2])
+    y_pred = np.array([0, 1, 1, 2])
+    cm = np.asarray(train.confusion_matrix(jnp.asarray(y_pred),
+                                           jnp.asarray(y_true), 3))
+    assert cm[0, 0] == 1 and cm[0, 1] == 1 and cm[1, 1] == 1 and cm[2, 2] == 1
+    assert cm.sum() == 4
+
+
+def test_warmup_cosine_schedule_matches_reference_math():
+    import math
+    fn = train.warmup_cosine_schedule(5, 50, 1e-4, 1e-3, 1e-5)
+    for epoch in [0, 2, 4, 5, 20, 49]:
+        if epoch < 5:
+            ref = 1e-4 + (1e-3 - 1e-4) * (epoch + 1) / 5
+        else:
+            progress = (epoch - 5) / 45
+            ref = 1e-5 + (1e-3 - 1e-5) * 0.5 * (1 + math.cos(math.pi * progress))
+        assert abs(float(fn(epoch)) - ref) < 1e-9
+
+
+def test_reduce_lr_on_plateau():
+    sched = train.ReduceLROnPlateau(1.0, factor=0.5, patience=1)
+    assert sched.step(1.0) == 1.0          # first improves vs inf
+    assert sched.step(1.0) == 1.0          # bad 1
+    assert sched.step(1.0) == 0.5          # bad 2 > patience → decay
+    assert sched.step(0.5) == 0.5          # improvement resets
+
+
+def _tiny_setup(rng):
+    model = models.EEGNet(samples=128, kern_length=8)
+    x = jnp.asarray(rng.standard_normal((4, 1, 37, 128)), jnp.float32)
+    y = jnp.asarray(_soft_targets(rng, 4))
+    tx = train.state.make_optimizer(1e-3)
+    state = train.create_train_state(model, (x,), tx, jax.random.PRNGKey(0))
+    return model, state, {"x": x, "y": y}
+
+
+def test_train_step_reduces_loss(rng):
+    _, state, batch = _tiny_setup(rng)
+    step = train.make_train_step()
+    key = jax.random.PRNGKey(1)
+    _, m0 = step(state, batch, key)
+    for _ in range(30):
+        state, m = step(state, batch, key)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_determinism_same_key_same_logits(rng):
+    """Same PRNG key ⇒ bitwise-identical training trajectory (§5.2)."""
+    def run():
+        r = np.random.default_rng(7)
+        _, state, batch = _tiny_setup(r)
+        step = train.make_train_step()
+        for _ in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(3))
+        ev = train.make_eval_step()
+        logits, _ = ev(state, batch)
+        return np.asarray(logits)
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_loop_and_checkpoint(tmp_path, rng):
+    model, state, batch = _tiny_setup(rng)
+    cfg = train.TrainerConfig(epochs=3, eval_metrics=("kldiv", "accuracy"),
+                              lr_schedule=train.warmup_cosine_schedule(
+                                  1, 3, 1e-4, 1e-3, 1e-5),
+                              step_per_batch=False)
+    trainer = train.Trainer(state, cfg, ckpt_dir=str(tmp_path / "ckpt"))
+    batches = [
+        {k: np.asarray(v) for k, v in batch.items()} for _ in range(2)]
+    final_state, best, oof = trainer.train_eval(
+        lambda: iter(batches), lambda: iter(batches))
+    assert np.isfinite(best)
+    assert oof is not None and oof.shape == (8, 6)
+    assert trainer.ckpt.best_epoch >= 0
+    # roundtrip: restore best into a fresh state
+    restored = trainer.ckpt.load_best(jax.tree_util.tree_map(
+        np.asarray, final_state))
+    la = jax.tree_util.tree_leaves(restored.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in la)
+
+
+def test_grid_search_vmapped(rng):
+    model = models.DilatedInceptionWaveNet(block_layers=(2,), block_dims=(8,))
+    x = jnp.asarray(rng.standard_normal((4, 64, 8)), jnp.float32)
+    y = jnp.asarray(_soft_targets(rng, 4))
+    batches = [{"x": np.asarray(x), "y": np.asarray(y)}]
+    best, results = train.parallel_grid_search(
+        model, (x,), lambda: iter(batches),
+        {"lr": [1e-3, 1e-2]}, train.kldiv_with_logits, epochs=2)
+    assert len(results) == 2
+    assert {"lr", "loss"} <= set(best)
+
+
+def test_cv_splitters(rng):
+    labels = rng.integers(0, 6, 120)
+    groups = rng.integers(0, 17, 120)
+    for tr, va in train.stratified_kfold(labels, 5):
+        assert len(np.intersect1d(tr, va)) == 0
+        assert len(tr) + len(va) == 120
+    for tr, va in train.group_kfold(groups, 5):
+        assert len(np.intersect1d(np.unique(groups[tr]),
+                                  np.unique(groups[va]))) == 0
+    votes = np.array([[2, 0, 0, 0, 0, 2], [0, 0, 0, 0, 0, 5]])
+    t = train.cv.aggregate_vote_labels(votes)
+    np.testing.assert_allclose(t.sum(1), 1.0)
+    np.testing.assert_allclose(t[0, 0], 0.5)
