@@ -72,6 +72,7 @@ class EEGNet(nn.Module):
         x = avg_pool(x, (1, 8))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -107,6 +108,7 @@ class EEGNetAttentionRegularized(nn.Module):
         x = avg_pool(x, (1, 8))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x                                       # (B, 1, T', F2)
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -151,6 +153,7 @@ class EEGNetAttentionDeep(nn.Module):
         x = avg_pool(x, (1, 8))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -203,6 +206,7 @@ class EEGNetResidual(nn.Module):
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = x + _ResidualTail(self.f2, name="residual")(stem_out, train)
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -237,6 +241,7 @@ class EEGNetResidualLSTM(nn.Module):
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = x + _ResidualTail(self.f2, name="residual")(stem_out, train)
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -286,6 +291,7 @@ class EEGNetTransformer(nn.Module):
         x = avg_pool(x, (1, 4))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -330,6 +336,7 @@ class EEGSeizureDetectionModel(nn.Module):
         x = nn.elu(x)
         x = avg_pool(x, (1, 4))
         self.sow("intermediates", "feature_map", x)
+        x = self.perturb("feature_map", x)
         return x
 
     def head(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

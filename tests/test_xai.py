@@ -1,0 +1,146 @@
+"""XAI stack tests: IG completeness axiom, Grad-CAM nonnegativity + cost,
+expected-gradients sanity, LIME recovery of a planted signal, rollout
+normalization, channel selection (SURVEY.md §4 layer 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_brain_pattern_identification_xai_tpu import models, xai
+
+
+@pytest.fixture(scope="module")
+def small_cnn():
+    model = models.SpectrogramCNN()
+    x = jnp.zeros((2, 3, 64, 48))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    fwd = jax.jit(lambda xx: model.apply(variables, xx))
+    return model, variables, fwd
+
+
+def test_saliency_shapes_and_nonneg(small_cnn, rng):
+    _, _, fwd = small_cnn
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    s = xai.saliency_maps(fwd, x)
+    assert s.shape == x.shape
+    assert np.all(np.asarray(s) >= 0)
+
+
+def test_multimodal_saliency(rng):
+    eeg_m = models.EEGNet(samples=128, kern_length=8)
+    spec_m = models.SpectrogramCNN()
+    mm = models.MultimodalModel(eeg_model=eeg_m, spectrogram_model=spec_m)
+    xe = jnp.asarray(rng.standard_normal((2, 1, 37, 128)), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    variables = mm.init(jax.random.PRNGKey(0), xe, xs)
+    fwd = lambda e, s: mm.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, e, s)
+    ge, gs = xai.multimodal_saliency(fwd, xe, xs)
+    assert ge.shape == xe.shape and gs.shape == xs.shape
+
+
+def test_integrated_gradients_completeness(small_cnn, rng):
+    """IG completeness: sum(attr) ≈ f(x) − f(baseline)."""
+    _, _, fwd = small_cnn
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    baseline = jnp.zeros_like(x)
+    target = jnp.argmax(fwd(x), -1)
+    attr = xai.integrated_gradients(fwd, x, baseline, target, steps=256)
+    fx = jnp.take_along_axis(fwd(x), target[:, None], -1)[:, 0]
+    f0 = jnp.take_along_axis(fwd(baseline), target[:, None], -1)[:, 0]
+    total = np.asarray(attr.reshape(2, -1).sum(-1))
+    np.testing.assert_allclose(total, np.asarray(fx - f0), rtol=0.05,
+                               atol=5e-3)
+
+
+def test_expected_gradients_shapes(small_cnn, rng):
+    _, _, fwd = small_cnn
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    bg = jnp.asarray(rng.standard_normal((16, 3, 64, 48)), jnp.float32)
+    vals = xai.gradient_shap_values(fwd, x, bg, jax.random.PRNGKey(0),
+                                    n_classes=6, nsamples=8)
+    assert vals.shape == (6, 2, 3, 64, 48)
+    assert np.all(np.isfinite(np.asarray(vals)))
+
+
+def test_grad_cam(small_cnn, rng):
+    model, variables, _ = small_cnn
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    cam = xai.grad_cam(model, variables, x, upsample_to=(64, 48))
+    cam = np.asarray(cam)
+    assert cam.shape == (2, 64, 48)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
+def test_grad_cam_on_eegnet(rng):
+    model = models.EEGNet(samples=128, kern_length=8)
+    x = jnp.asarray(rng.standard_normal((2, 1, 37, 128)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    cam = xai.grad_cam(model, variables, x)
+    assert cam.shape[0] == 2 and np.all(np.asarray(cam) >= 0)
+
+
+def test_slic_segments_cover_image(rng):
+    img = rng.random((80, 60))
+    seg = xai.slic_segments(img, n_segments=25)
+    assert seg.shape == (80, 60)
+    assert seg.min() == 0
+    assert 10 <= seg.max() + 1 <= 40
+    # contiguous-ish: every label non-empty
+    assert all((seg == k).sum() > 0 for k in range(seg.max() + 1))
+
+
+def test_lime_recovers_planted_region(rng):
+    """A predictor keyed on one image region → LIME ranks that region top."""
+    def predict(batch):                   # batch (N, H, W, C)
+        score = batch[:, 8:24, 8:24, 0].mean(axis=(1, 2))
+        p1 = 1 / (1 + np.exp(-10 * (score - 0.5)))
+        return np.stack([1 - p1, p1], axis=1)
+
+    img = np.zeros((32, 32, 1), np.float32)
+    img[8:24, 8:24] = 1.0
+    res = xai.lime_explain(predict, img, n_segments=16, num_samples=500,
+                           hide_color=0.0, seed=1)
+    assert res["label"] == 1
+    inside = res["heatmap"][8:24, 8:24].mean()
+    outside = (res["heatmap"].sum() - res["heatmap"][8:24, 8:24].sum()) / (
+        32 * 32 - 16 * 16)
+    assert inside > outside
+    assert res["mask"][12, 12]
+
+
+def test_attention_rollout_rows_normalized(rng):
+    a1 = jax.nn.softmax(jnp.asarray(rng.standard_normal((2, 4, 5, 5))), -1)
+    a2 = jax.nn.softmax(jnp.asarray(rng.standard_normal((2, 4, 5, 5))), -1)
+    r = xai.attention_rollout([a1, a2])
+    np.testing.assert_allclose(np.asarray(r.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_rollout_from_vit(rng):
+    model = models.SpectrogramViT(image_size=(64, 48), dim=32, depth=2,
+                                  n_heads=2, mlp_dim=64)
+    x = jnp.asarray(rng.standard_normal((1, 3, 64, 48)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    r = xai.rollout.rollout_from_model(model, variables, x)
+    assert r.shape[0] == 1 and r.shape[1] == r.shape[2]
+    np.testing.assert_allclose(np.asarray(r.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_channel_selection(rng):
+    shap_vals = rng.standard_normal((6, 2, 1, 37, 100))
+    shap_vals[..., 5, :] *= 100           # channel 5 dominates
+    idx, scores = xai.get_top_n_channels(shap_vals, n=3)
+    assert idx[0] == 5
+    x = rng.standard_normal((4, 1, 37, 100)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 4)]
+    xs, ys = xai.restructure_to_top_channels(x, y, idx, positive_class=2)
+    assert xs.shape == (4, 1, 3, 100)
+    assert ys.shape == (4, 2)
+    np.testing.assert_allclose(ys.sum(-1), 1.0)
+    names = xai.channel_select.channel_names_37()
+    assert len(names) == 37 and names[19] == "Fp1-F7"
