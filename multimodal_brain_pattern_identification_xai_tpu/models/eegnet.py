@@ -39,9 +39,22 @@ class _EEGNetStem(nn.Module):
         x = nn.Conv(self.f1, (1, self.kern_length), padding="SAME",
                     use_bias=False, name="conv1")(x)
         x = batch_norm(train)(x)
-        x = nn.Conv(self.f1 * self.d, (self.chans, 1), padding="VALID",
-                    feature_group_count=self.f1, use_bias=False,
-                    name="depthwiseConv")(x)
+        # Depthwise (Chans, 1) conv with groups=F1, expressed as an einsum
+        # contraction over the channel-height axis: (a) it maps onto the
+        # MXU as one dense contraction instead of F1 skinny grouped convs,
+        # and (b) XLA's SPMD partitioner mis-shards grouped-conv *gradients*
+        # on multi-axis meshes (silently zeroing them — caught by
+        # tests/test_parallel.py), which the einsum form avoids entirely.
+        # Kernel layout kept = torch/flax grouped-conv HWIO (H,1,F1? no —
+        # (Chans, 1, 1, F1·D)) so weights stay layout-compatible.
+        dw_kernel = self.param(
+            "depthwiseConv_kernel",
+            nn.initializers.lecun_normal(),
+            (self.chans, self.f1, self.d))
+        # x: (B, Chans, T, F1) → (B, 1, T, F1·D); group g output d uses
+        # only input channel g (depthwise semantics).
+        x = jnp.einsum("bhtg,hgd->btgd", x, dw_kernel)
+        x = x.reshape(x.shape[0], 1, x.shape[1], self.f1 * self.d)
         x = batch_norm(train)(x)
         x = nn.elu(x)
         x = avg_pool(x, (1, 4))

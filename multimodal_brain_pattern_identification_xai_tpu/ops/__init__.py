@@ -31,8 +31,11 @@ from .nanfix import nan_to_channel_mean  # noqa: F401
 from .resample import decimate, rolling_mean4_flat, pad_or_truncate  # noqa: F401
 from .stft import stft, stft_log1p_interp  # noqa: F401
 from .smooth import gaussian_smooth2d  # noqa: F401
+from . import preprocess  # noqa: F401
 from .preprocess import (  # noqa: F401
     eeg_transform,
     hms_eeg_preprocess,
     hms_spectrogram_preprocess,
+    preprocess_multimodal,
+    mirror_eeg,
 )

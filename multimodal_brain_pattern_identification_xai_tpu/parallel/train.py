@@ -1,0 +1,125 @@
+"""Mesh-parallel training step.
+
+The DDP equivalent (training_distributed.py:22-141), built on ``shard_map``
+with an explicit gradient ``psum`` over the ``data`` axis:
+
+* every device computes its local micro-batch's gradients with the exact
+  single-device program (no GSPMD re-partitioning of the backward pass —
+  this matters: XLA's SPMD partitioner silently zeroes grouped-convolution
+  gradients on multi-axis meshes, a bug tests/test_parallel.py pins);
+* gradients and the loss are ``psum``-averaged over ``data`` (the NCCL
+  all-reduce of DDP, riding ICI inside the compiled step);
+* BatchNorm batch statistics are computed per shard and psum-averaged
+  before being folded into the running stats (DDP-with-synced-running-
+  stats semantics);
+* the optimizer update runs on the replicated gradients — identical on
+  every device, no resharding.
+
+``state_shardings`` (GSPMD named shardings incl. tensor-parallel dense
+kernels) is retained for models where the partitioner path is safe and
+for the TP demos in :mod:`.tp`.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..train.losses import kldiv_with_logits, l2_regularization
+from ..train.state import TrainState
+from . import mesh as mesh_lib
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put a host batch with the leading axis sharded over ``data``."""
+    out = {}
+    for k, v in batch.items():
+        sh = mesh_lib.batch_sharding(mesh, jnp.ndim(v))
+        out[k] = jax.device_put(jnp.asarray(v), sh)
+    return out
+
+
+def state_shardings(mesh: Mesh, state: TrainState,
+                    tp_patterns=mesh_lib._TP_PATTERNS) -> Any:
+    """Sharding pytree matching ``state``: tensor-parallel on dense kernels
+    whose path matches a TP pattern, replicated for other arrays, ``None``
+    for non-array leaves."""
+    regexes = [re.compile(p) for p in tp_patterns]
+    repl = mesh_lib.replicate(mesh)
+
+    def assign(path, leaf):
+        if not isinstance(leaf, (jax.Array, np.ndarray)):
+            return None
+        name = jax.tree_util.keystr(path).replace("'", "").replace(
+            "[", "/").replace("]", "")
+        if leaf.ndim >= 2 and any(r.search(name) for r in regexes):
+            spec = [None] * leaf.ndim
+            spec[-1] = "model"
+            return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, state)
+
+
+def make_parallel_train_step(mesh: Mesh, state: TrainState,
+                             loss_fn: Callable = kldiv_with_logits,
+                             l2_lambda: float = 0.0,
+                             donate: bool = True) -> Callable:
+    """Build the data-parallel train step for a given state structure."""
+    has_bn = state.batch_stats is not None
+
+    def local_grads(params, batch_stats, batch, rng, step):
+        """Per-shard loss/grads; psum-averaged over 'data'."""
+        # decorrelate dropout masks across shards (DDP ranks would
+        # otherwise draw identical masks from the shared key)
+        shard_key = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        rngs = {"dropout": jax.random.fold_in(shard_key, step)}
+
+        def compute_loss(p):
+            variables = {"params": p}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            if "eeg" in batch:
+                args = (batch["eeg"], batch["spec"], True)
+            else:
+                args = (batch["x"], True)
+            out = state.apply_fn(variables, *args, rngs=rngs,
+                                 mutable=["batch_stats"] if has_bn else False)
+            logits, updates = out if has_bn else (out, {})
+            loss = loss_fn(logits, batch["y"])
+            if l2_lambda:
+                loss = loss + l2_regularization(p, l2_lambda)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params)
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.lax.pmean(grads, "data")
+        if has_bn:
+            updates = {"batch_stats": jax.lax.pmean(
+                updates["batch_stats"], "data")}
+        return loss, grads, updates
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        specs = jax.tree_util.tree_map(lambda _: P("data"), batch)
+        fn = shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P(), specs, P(), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False)
+        bs = state.batch_stats if has_bn else {}
+        loss, grads, updates = fn(state.params, bs, batch,
+                                  rng, jnp.asarray(state.step))
+        state = state.apply_gradients(grads=grads)
+        if has_bn:
+            state = state.replace(batch_stats=updates["batch_stats"])
+        return state, {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

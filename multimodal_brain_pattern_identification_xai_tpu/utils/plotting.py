@@ -1,0 +1,126 @@
+"""Plotting suite (reference data_utils.py:437-599 training curves /
+confusion matrix and DiffEEG_utils.py:374-549 class-distribution and
+real-vs-generated comparisons).  matplotlib with Agg backend; every
+function returns the save path."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_training_curves(history: Dict[str, List[float]], save_dir: str,
+                         name: str = "training_curves") -> str:
+    """Loss/metric curves per epoch (data_utils.py:437-532)."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for key, values in history.items():
+        ax.plot(values, label=key)
+    ax.set_xlabel("epoch")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_confusion_matrix(cm: np.ndarray, class_names: Sequence[str],
+                          save_dir: str, name: str = "confusion_matrix",
+                          normalize: bool = True) -> str:
+    """Heatmap confusion matrix (create_confusion_matrix,
+    data_utils.py:536-599) — matplotlib-native, no seaborn dependency."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    cm = np.asarray(cm, np.float64)
+    if normalize:
+        cm = cm / np.maximum(cm.sum(1, keepdims=True), 1)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(len(class_names)), class_names, rotation=45)
+    ax.set_yticks(range(len(class_names)), class_names)
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, f"{cm[i, j]:.2f}", ha="center", va="center",
+                    color="white" if cm[i, j] > 0.5 else "black")
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    fig.colorbar(im)
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_class_distribution(labels_before: np.ndarray,
+                            labels_after: Optional[np.ndarray],
+                            class_names: Sequence[str], save_dir: str,
+                            name: str = "class_distribution") -> str:
+    """Before/after-augmentation class histogram (DiffEEG_utils.py:374-420)."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    n = len(class_names)
+    before = np.bincount(np.asarray(labels_before), minlength=n)
+    ax.bar(np.arange(n) - 0.2, before, width=0.4, label="before")
+    if labels_after is not None:
+        after = np.bincount(np.asarray(labels_after), minlength=n)
+        ax.bar(np.arange(n) + 0.2, after, width=0.4, label="after")
+    ax.set_xticks(range(n), class_names)
+    ax.legend()
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_real_vs_generated(real: np.ndarray, generated: np.ndarray,
+                           save_dir: str, n_channels: int = 4,
+                           name: str = "real_vs_generated") -> str:
+    """Waveform comparison panels (DiffEEG_utils.py:424-529)."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    fig, axes = plt.subplots(n_channels, 2, figsize=(10, 2 * n_channels),
+                             sharex=True)
+    for c in range(n_channels):
+        axes[c, 0].plot(real[0, c], lw=0.5)
+        axes[c, 1].plot(generated[0, c], lw=0.5, color="tab:orange")
+        axes[c, 0].set_ylabel(f"ch {c}")
+    axes[0, 0].set_title("real")
+    axes[0, 1].set_title("generated")
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_saliency_heatmap(saliency: np.ndarray, save_dir: str,
+                          name: str = "saliency",
+                          channel_names: Optional[Sequence[str]] = None
+                          ) -> str:
+    """Per-channel |grad| heatmap (plot_eeg_saliency,
+    XAI_Multimodality.py:3103-3130)."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    sal = np.asarray(saliency)
+    sal = sal.reshape(-1, sal.shape[-1]) if sal.ndim > 2 else sal
+    fig, ax = plt.subplots(figsize=(10, 6))
+    im = ax.imshow(sal, aspect="auto", cmap="hot")
+    if channel_names is not None:
+        ax.set_yticks(range(len(channel_names)), channel_names, fontsize=6)
+    ax.set_xlabel("time")
+    fig.colorbar(im)
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -1,0 +1,124 @@
+"""Data-layer + utils tests: parquet roundtrip, window cropping, cache,
+batching/prefetch, dummy fixtures, loggers, plots, seeding."""
+
+import os
+
+import numpy as np
+import jax
+
+import multimodal_brain_pattern_identification_xai_tpu.config as C
+from multimodal_brain_pattern_identification_xai_tpu import data, utils
+
+
+def test_eeg_parquet_roundtrip(tmp_path, rng):
+    import pandas as pd
+    arr = rng.standard_normal((500, 20)).astype(np.float32)
+    df = pd.DataFrame(arr, columns=list(C.EEG_COLUMNS))
+    path = tmp_path / "123.parquet"
+    df.to_parquet(path)
+    got = data.load_eeg_parquet(str(tmp_path), 123)
+    np.testing.assert_allclose(got, arr, rtol=1e-6)
+    # column-order assert fires on permuted columns
+    df2 = df[list(C.EEG_COLUMNS[::-1])]
+    df2.to_parquet(tmp_path / "124.parquet")
+    try:
+        data.load_eeg_parquet(str(tmp_path), 124)
+        assert False, "expected column-order assertion"
+    except AssertionError:
+        pass
+
+
+def test_crop_eeg_window_center_and_nan(rng):
+    eeg = rng.standard_normal((12_000, 20)).astype(np.float32)
+    eeg[6000, 3] = np.nan
+    win = data.crop_eeg_window(eeg, 10_000)
+    assert win.shape == (10_000, 20)
+    assert np.isfinite(win).all()
+    np.testing.assert_allclose(win[0], eeg[1000], rtol=1e-6)
+    short = data.crop_eeg_window(eeg[:5000], 10_000)
+    assert short.shape == (10_000, 20)
+    assert np.all(short[5000:] == 0)
+
+
+def test_crop_spectrogram_offset():
+    spec = np.arange(350 * 400, dtype=np.float32).reshape(350, 400)
+    out = data.crop_spectrogram(spec, offset_seconds=20.0)
+    assert out.shape == (400, 300)
+    np.testing.assert_allclose(out[:, 0], spec[10, :])
+
+
+def test_eeg_record_cache(tmp_path, rng):
+    import pandas as pd
+    for eid in (1, 2):
+        df = pd.DataFrame(rng.standard_normal((11_000, 20)).astype(np.float32),
+                          columns=list(C.EEG_COLUMNS))
+        df.to_parquet(tmp_path / f"{eid}.parquet")
+    cache = data.EEGRecordCache(str(tmp_path / "cache.npz"))
+    cache.build(str(tmp_path), [1, 2])
+    cache.save()
+    loaded = data.EEGRecordCache.load(str(tmp_path / "cache.npz"))
+    assert len(loaded) == 2 and 1 in loaded
+    np.testing.assert_allclose(loaded[1], cache[1])
+
+
+def test_batch_iterator_and_prefetch(rng):
+    arrays = {"x": rng.standard_normal((10, 3)).astype(np.float32),
+              "y": rng.standard_normal((10, 6)).astype(np.float32)}
+    batches = list(data.batch_iterator(arrays, 4, shuffle=True, seed=0))
+    assert len(batches) == 2 and batches[0]["x"].shape == (4, 3)
+    dev_batches = list(data.prefetch_to_device(
+        data.batch_iterator(arrays, 4), size=2))
+    assert len(dev_batches) == 2
+    assert isinstance(dev_batches[0]["x"], jax.Array)
+
+
+def test_dummy_fixtures(rng):
+    d = data.dummy_eeg_dataset(rng, n_per_class=2)
+    assert d["x"].shape == (12, 19, 2000) and d["y"].shape == (12, 6)
+    meta = data.dummy_metadata(rng, 30)
+    assert set(C.TGT_VOTE_COLS) <= set(meta.columns)
+    raw = data.synthetic_raw_eeg(4, rng)
+    assert raw.shape == (4, 20, 10_000)
+    spec = data.synthetic_raw_spectrogram(3, rng)
+    assert spec.shape == (3, 400, 300)
+
+
+def test_wandb_logger_jsonl_fallback(tmp_path):
+    lg = utils.WandbLogger("proj", "exp1", log_dir=str(tmp_path))
+    lg.log_loss(0.5, 1)
+    lg.log_evaluation({"kldiv": 0.1}, 0)
+    lg.finish()
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".jsonl")]
+    assert files
+    lines = open(tmp_path / files[0]).read().strip().splitlines()
+    assert len(lines) == 2
+
+
+def test_plots_render(tmp_path, rng):
+    p1 = utils.plot_training_curves({"loss": [1, 0.5, 0.2]}, str(tmp_path))
+    p2 = utils.plot_confusion_matrix(rng.integers(0, 9, (6, 6)),
+                                     list(C.CLASSES), str(tmp_path))
+    p3 = utils.plot_class_distribution(rng.integers(0, 6, 50),
+                                       rng.integers(0, 6, 80),
+                                       list(C.CLASSES), str(tmp_path))
+    p4 = utils.plot_real_vs_generated(rng.standard_normal((1, 4, 100)),
+                                      rng.standard_normal((1, 4, 100)),
+                                      str(tmp_path))
+    p5 = utils.plot_saliency_heatmap(rng.random((37, 100)), str(tmp_path))
+    for p in (p1, p2, p3, p4, p5):
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_seed_everything():
+    key = utils.seed_everything(7)
+    assert key.shape == (2,)
+    a = np.random.rand()
+    utils.seed_everything(7)
+    b = np.random.rand()
+    assert a == b
+
+
+def test_benchmark_fn():
+    import jax.numpy as jnp
+    stats = utils.benchmark_fn(lambda: jnp.ones(8).sum(), warmup=1, iters=3)
+    assert stats["median_s"] > 0 and stats["iters"] == 3

@@ -1,0 +1,179 @@
+"""Mesh/sharding tests on the virtual 8-device CPU platform (SURVEY.md §4
+layer 5): DP gradient equivalence, TP sharding, seq-parallel exactness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import multimodal_brain_pattern_identification_xai_tpu.config as C
+from multimodal_brain_pattern_identification_xai_tpu import (models, parallel,
+                                                             train)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = parallel.make_mesh(C.MeshConfig(data=-1, model=2, seq=2))
+    assert mesh.shape == {"data": 2, "model": 2, "seq": 2}
+    mesh1 = parallel.make_mesh(C.MeshConfig(data=-1))
+    assert mesh1.shape["data"] == 8
+    with pytest.raises(ValueError):
+        parallel.make_mesh(C.MeshConfig(data=3, model=2, seq=2))
+
+
+def _setup_state(rng, optimizer="adam"):
+    model = models.EEGNet(samples=128, kern_length=8)
+    x = jnp.asarray(rng.standard_normal((8, 1, 37, 128)), jnp.float32)
+    y = jnp.asarray(np.eye(6, dtype=np.float32)[rng.integers(0, 6, 8)])
+    tx = train.state.make_optimizer(1e-3, optimizer=optimizer)
+    state = train.create_train_state(model, (x,), tx, jax.random.PRNGKey(0))
+    return state, {"x": np.asarray(x), "y": np.asarray(y)}
+
+
+def test_parallel_step_matches_single_device(rng):
+    """DP-sharded step == unsharded step (gradient psum correctness).
+
+    Uses the WaveNet (no BatchNorm/dropout — under DP the BN batch stats
+    are per-shard like DDP, and dropout masks are rank-decorrelated, so
+    models with those layers legitimately differ from the single-device
+    run) and SGD (linear in the gradient; Adam's g/|g| amplifies ~1e-8
+    reduction-order noise into ±lr sign flips on tiny-grad leaves)."""
+    model = models.DilatedInceptionWaveNet(block_layers=(3, 2),
+                                           block_dims=(8, 8))
+    x = jnp.asarray(rng.standard_normal((8, 64, 8)), jnp.float32)
+    y = jnp.asarray(np.eye(6, dtype=np.float32)[rng.integers(0, 6, 8)])
+    tx = train.state.make_optimizer(1e-2, optimizer="sgd")
+    state_a = train.create_train_state(model, (x,), tx, jax.random.PRNGKey(0))
+    state_b = jax.tree_util.tree_map(lambda t: t, state_a)
+
+    plain_step = train.make_train_step()
+    mesh = parallel.make_mesh(C.MeshConfig(data=4, model=2, seq=1))
+    par_step = parallel.make_parallel_train_step(mesh, state_b, donate=False)
+
+    key = jax.random.PRNGKey(1)
+    jb = {"x": x, "y": y}
+    sb = parallel.shard_batch(mesh, {"x": np.asarray(x), "y": np.asarray(y)})
+    state_a, ma = plain_step(state_a, jb, key)
+    state_b, mb = par_step(state_b, sb, key)
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-5
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_grouped_conv_grad_partitioner_bug_is_avoided(rng):
+    """Regression: XLA GSPMD zeroes grouped-conv grads on multi-axis
+    meshes; EEGNet's depthwise stage is einsum-reformulated and the DP
+    step is shard_map-based, so the depthwise gradient must be nonzero
+    and match the single-device value."""
+    state_a, batch = _setup_state(rng, optimizer="sgd")
+    state_b = jax.tree_util.tree_map(lambda t: t, state_a)
+    mesh = parallel.make_mesh(C.MeshConfig(data=4, model=2, seq=1))
+    par_step = parallel.make_parallel_train_step(mesh, state_b, donate=False)
+    plain_step = train.make_train_step()
+    key = jax.random.PRNGKey(1)
+    sb = parallel.shard_batch(mesh, batch)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    sa, _ = plain_step(state_a, jb, key)
+    sbn, _ = par_step(state_b, sb, key)
+    dw_a = np.asarray(sa.params["stem"]["depthwiseConv_kernel"]
+                      - state_a.params["stem"]["depthwiseConv_kernel"])
+    dw_b = np.asarray(sbn.params["stem"]["depthwiseConv_kernel"]
+                      - state_a.params["stem"]["depthwiseConv_kernel"])
+    assert np.abs(dw_b).max() > 0                     # not silently zeroed
+    # dropout masks are rank-decorrelated, so exact equality is not
+    # expected — but the gradient scale must match (same order):
+    assert 0.2 < np.abs(dw_b).max() / np.abs(dw_a).max() < 5.0
+
+
+def test_tp_mlp_matches_dense(rng):
+    import functools
+    from jax.experimental.shard_map import shard_map
+    mesh = parallel.make_mesh(C.MeshConfig(data=1, model=8, seq=1))
+    x = jnp.asarray(rng.standard_normal((4, 12)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((12, 128)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((128, 6)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((6,)) * 0.1, jnp.float32)
+    ref = jax.nn.relu(x @ k1 + b1) @ k2 + b2
+
+    from multimodal_brain_pattern_identification_xai_tpu.parallel import tp
+    fn = shard_map(
+        functools.partial(tp.tp_mlp, axis_name="model"),
+        mesh=mesh,
+        in_specs=(P(), P(None, "model"), P("model"), P("model", None), P()),
+        out_specs=P(), check_rep=False)
+    got = fn(x, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tp_params_actually_sharded(rng):
+    eeg = models.EEGNetAttentionRegularized(samples=128, kern_length=8)
+    x = jnp.zeros((4, 1, 37, 128))
+    tx = train.state.make_optimizer(1e-3)
+    state = train.create_train_state(eeg, (x,), tx, jax.random.PRNGKey(0))
+    mesh = parallel.make_mesh(C.MeshConfig(data=2, model=2, seq=2))
+    sh = parallel.train.state_shardings(mesh, state)
+    # dense1 kernel is TP-sharded on its output axis
+    d1 = sh.params["dense1"]["kernel"]
+    assert d1.spec == P(None, "model")
+    # conv kernels replicated
+    assert sh.params["stem"]["conv1"]["kernel"].spec == P()
+
+
+def test_halo_conv_matches_global(rng):
+    from jax.experimental.shard_map import shard_map
+    import functools
+    mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
+    x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((5, 3, 4)), jnp.float32) * 0.1
+
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC"))
+
+    fn = shard_map(
+        functools.partial(parallel.halo_conv1d, axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, "seq", None), P()), out_specs=P(None, "seq", None),
+        check_rep=False)
+    got = fn(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_long_eeg_seq_parallel_matches_local(rng):
+    mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
+    enc = parallel.LongEEGEncoder(n_channels=4, patch=8, d_model=32,
+                                  depth=2, n_heads=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 4, 8 * 64)), jnp.float32)
+    sp = parallel.long_eeg_forward(enc, params, x, mesh)
+    local = enc.local_forward(params, x, axis_name=None)
+    assert sp.shape == (2, 6)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(local),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_seq_parallel_attention_exact(rng):
+    from jax.experimental.shard_map import shard_map
+    import functools
+    mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
+    q = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
+    ref = parallel.seqparallel._local_attention(q, k, v, 4)
+    fn = shard_map(
+        functools.partial(parallel.sequence_parallel_attention, n_heads=4,
+                          axis_name="seq"),
+        mesh=mesh,
+        in_specs=(P(None, "seq", None),) * 3,
+        out_specs=P(None, "seq", None), check_rep=False)
+    got = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
