@@ -1,0 +1,285 @@
+"""Command-line entry points — the counterpart of the reference's
+hard-coded ``main.py`` / ``main_2.py`` / ``main3.py`` scripts
+(SURVEY.md §2 L7), with actual flags instead of edit-the-source booleans.
+
+Subcommands::
+
+    python -m multimodal_brain_pattern_identification_xai_tpu <cmd> [...]
+
+    cache-build       sweep eeg parquets into the npz window cache
+    train-wavenet     GroupKFold CV of DilatedInceptionWaveNet (main_2.py)
+    train-multimodal  multimodal EEG+spectrogram training (notebook §3.4)
+    train-diffeeg     DiffEEG diffusion training (DiffEEG_train.py)
+    generate          class-conditional EEG generation
+    xai               saliency/IG/SHAP/Grad-CAM/LIME report on a checkpoint
+    bench             the windows/sec/chip benchmark
+
+Every command accepts ``--demo`` to run on synthetic data (no HMS download
+needed) — the equivalent of the reference's DummyEEGDataset sanity path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="config override key.path=value (repeatable)")
+    p.add_argument("--demo", action="store_true",
+                   help="run on synthetic data")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _load_cfg(args):
+    from . import config as C
+    cfg = C.load_config(args.config, args.overrides)
+    return cfg
+
+
+def cmd_train_wavenet(args) -> int:
+    """CV training of the WaveNet on transformed raw EEG (main_2.py:259-413)."""
+    import jax
+    from . import config as C, data, models, ops, train
+
+    cfg = _load_cfg(args)
+    rng = np.random.default_rng(args.seed)
+    if args.demo:
+        n = 48
+        raw = rng.standard_normal((n, 2000, 19)).astype(np.float32) * 100
+        groups = rng.integers(0, 12, n)
+        votes = rng.integers(0, 10, (n, 6))
+    else:
+        raise SystemExit("non-demo mode needs the HMS dataset wired via "
+                         "--set paths.data_root=...; use --demo to smoke")
+
+    tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=True, n_feats=8)
+    x = np.asarray(ops.eeg_transform(raw, tcfg))
+    y = train.cv.aggregate_vote_labels(votes)
+    splits = train.group_kfold(groups, n_splits=cfg.n_folds)
+
+    bs = args.batch_size or 16
+    epochs = args.epochs or 3
+
+    def make_loaders(tr, va):
+        def tl():
+            return data.batch_iterator({"x": x[tr], "y": y[tr]}, bs,
+                                       shuffle=True, seed=args.seed)
+        def vl():
+            return data.batch_iterator({"x": x[va], "y": y[va]}, bs,
+                                       drop_last=False)
+        return tl, vl
+
+    def make_trainer(fold):
+        model = models.DilatedInceptionWaveNet()
+        tx = train.state.make_optimizer(cfg.trainer.lr)
+        state = train.create_train_state(
+            model, (x[:2],), tx, jax.random.PRNGKey(args.seed))
+        tc = train.TrainerConfig(epochs=epochs, seed=args.seed,
+                                 lr_schedule=train.cosine_schedule_with_warmup(
+                                     10, epochs * max(1, len(x) // bs),
+                                     cfg.trainer.lr))
+        return train.Trainer(state, tc,
+                             ckpt_dir=f"{args.ckpt_dir}/wavenet_fold{fold}")
+
+    oof, scores = train.run_cv(make_trainer, make_loaders, splits, len(x))
+    np.save(f"{args.ckpt_dir}/oof.npy", oof)
+    print("fold scores:", [round(s, 4) for s in scores])
+    return 0
+
+
+def cmd_train_multimodal(args) -> int:
+    """Multimodal EEG+spectrogram training (XAI_Multimodality.py §3.4)."""
+    import jax
+    from . import config as C, data, models, ops, train
+
+    cfg = _load_cfg(args)
+    rng = np.random.default_rng(args.seed)
+    if not args.demo:
+        raise SystemExit("non-demo mode needs the HMS dataset; use --demo")
+    n = 24
+    raw_eeg = data.synthetic_raw_eeg(n, rng, n_points=2000)
+    raw_spec = data.synthetic_raw_spectrogram(n, rng, shape=(80, 60))
+    y = np.eye(6, dtype=np.float32)[np.arange(n) % 6]
+
+    sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
+    eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec,
+                                                signal=sig)
+    eeg_in, spec_in = np.asarray(eeg_in), np.asarray(spec_in)
+
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(samples=600,
+                                                    kern_length=16),
+        spectrogram_model=models.SpectrogramCNN())
+    tx = train.state.make_optimizer(cfg.trainer.lr)
+    import jax.numpy as jnp
+    state = train.create_train_state(
+        mm, (jnp.asarray(eeg_in[:2]), jnp.asarray(spec_in[:2])), tx,
+        jax.random.PRNGKey(args.seed))
+    tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed)
+    trainer = train.Trainer(state, tc, ckpt_dir=f"{args.ckpt_dir}/multimodal")
+    bs = args.batch_size or 8
+
+    def loader():
+        return data.multimodal_batch_iterator(eeg_in, spec_in, y, bs)
+
+    _, best, _ = trainer.train_eval(loader, loader)
+    print(f"best kldiv: {best:.4f}")
+    return 0
+
+
+def cmd_train_diffeeg(args) -> int:
+    """DiffEEG diffusion training (DiffEEG_train.py)."""
+    from . import config as C, models, train
+
+    rng = np.random.default_rng(args.seed)
+    if not args.demo:
+        raise SystemExit("non-demo mode needs the HMS dataset; use --demo")
+    cfg = C.DiffEEGConfig(n_channels=4, input_length=256, hidden_channels=8,
+                          n_diffusion_steps=50, gradient_accumulate_every=2,
+                          batch_size=args.batch_size or 8,
+                          evaluate_every=10, save_and_sample_every=10,
+                          min_steps=args.epochs or 20,
+                          stft_n_fft=32, stft_noverlap=16)
+    model = models.DiffEEG(n_channels=4, hidden=8)
+    trainer = train.DiffEEGTrainer(model, cfg,
+                                   ckpt_dir=f"{args.ckpt_dir}/diffeeg",
+                                   seed=args.seed)
+
+    def batches():
+        while True:
+            x = rng.standard_normal(
+                (cfg.batch_size, 4, 256)).astype(np.float32)
+            y = np.eye(6, dtype=np.float32)[
+                rng.integers(0, 6, cfg.batch_size)]
+            yield x, y
+
+    val = [(rng.standard_normal((4, 4, 256)).astype(np.float32),
+            np.eye(6, dtype=np.float32)[rng.integers(0, 6, 4)])]
+    hist = trainer.train(batches, val_batches=val,
+                         total_steps=cfg.min_steps)
+    print(f"final loss: {hist['loss'][-1]:.4f}; evals: {len(hist['eval'])}")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    """Class-conditional generation (generate_for_class)."""
+    import jax
+    from . import config as C, diffusion, models
+
+    cfg = C.DiffEEGConfig(n_channels=4, input_length=256, hidden_channels=8,
+                          n_diffusion_steps=50)
+    model = models.DiffEEG(n_channels=4, hidden=8)
+    import jax.numpy as jnp
+    x0 = jnp.zeros((1, 4, 256))
+    variables = model.init(jax.random.PRNGKey(args.seed), x0,
+                           jnp.zeros((1, 6)), jnp.zeros((1,)),
+                           jnp.zeros((1, 4, 17, 256)))
+    sched = diffusion.make_schedule(cfg.n_diffusion_steps)
+    den = lambda x, y, t, s: model.apply(variables, x, y, t, s)
+    for c in range(6):
+        out = diffusion.generate_for_class(
+            sched, den, jax.random.PRNGKey(c), c, n_samples=2, n_channels=4,
+            length=256, spec_shape=(17, 256))
+        np.save(f"{args.ckpt_dir}/generated_class_{c}.npy", out)
+        print(f"class {c}: {out.shape} saved")
+    return 0
+
+
+def cmd_xai(args) -> int:
+    """Attribution report on a (demo) multimodal model."""
+    import jax
+    import jax.numpy as jnp
+    from . import config as C, data, models, ops, utils, xai
+
+    rng = np.random.default_rng(args.seed)
+    raw_eeg = data.synthetic_raw_eeg(8, rng, n_points=2000)
+    raw_spec = data.synthetic_raw_spectrogram(8, rng, shape=(80, 60))
+    sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
+    eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec, signal=sig)
+
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(samples=600,
+                                                    kern_length=16),
+        spectrogram_model=models.SpectrogramCNN())
+    variables = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2],
+                        spec_in[:2])
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    fwd = lambda e, s: mm.apply(variables, e, s)
+
+    ge, gs = xai.multimodal_saliency(fwd, eeg_in, spec_in)
+    utils.plot_saliency_heatmap(np.asarray(ge[0, 0]), args.ckpt_dir,
+                                "eeg_saliency",
+                                xai.channel_select.channel_names_37())
+    eeg_fwd = lambda e: mm.apply(variables, e, method=mm.forward_eeg)
+    shap_vals = xai.gradient_shap_values(eeg_fwd, eeg_in[:2], eeg_in,
+                                         jax.random.PRNGKey(0), nsamples=16)
+    idx, scores = xai.get_top_n_channels(np.asarray(shap_vals), n=10)
+    names = xai.channel_select.channel_names_37()
+    print("top-10 channels:", [names[i] for i in idx])
+
+    def predict(batch_hwc):
+        spec = jnp.asarray(batch_hwc).transpose(0, 3, 1, 2)
+        logp = mm.apply(variables, spec, method=mm.forward_spectrogram)
+        return np.asarray(jnp.exp(logp))
+
+    img = np.asarray(spec_in[0]).transpose(1, 2, 0)
+    res = xai.lime_explain(predict, img, n_segments=40, num_samples=200,
+                           seed=args.seed)
+    print(f"LIME top label {res['label']}; "
+          f"{int(res['mask'].sum())} px in top segments")
+    return 0
+
+
+def cmd_cache_build(args) -> int:
+    from . import data
+    cfg = _load_cfg(args)
+    meta = data.load_train_metadata(cfg.paths.train_csv)
+    cache = data.EEGRecordCache(f"{args.ckpt_dir}/eeg_cache.npz")
+    cache.build(cfg.paths.train_eegs, meta["eeg_id"].unique())
+    cache.save()
+    print(f"cached {len(cache)} records")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+COMMANDS = {
+    "train-wavenet": cmd_train_wavenet,
+    "train-multimodal": cmd_train_multimodal,
+    "train-diffeeg": cmd_train_diffeeg,
+    "generate": cmd_generate,
+    "xai": cmd_xai,
+    "cache-build": cmd_cache_build,
+    "bench": cmd_bench,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="multimodal_brain_pattern_identification_xai_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in COMMANDS:
+        p = sub.add_parser(name)
+        _add_common(p)
+    args = parser.parse_args(argv)
+    import os
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    return COMMANDS[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -230,9 +230,17 @@ def _biquad_block_parallel(x: jnp.ndarray, sec: Tuple[float, ...],
     return y[..., :T] if pad else y
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def lfilter(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
             zi: Optional[jnp.ndarray] = None,
-            block_size: Optional[int] = 128) -> jnp.ndarray:
+            block_size: Optional[int] = 128,
+            engine: str = "auto") -> jnp.ndarray:
     """Batched IIR filter with ``scipy.signal.lfilter`` semantics (applied
     as a numerically-stable SOS cascade).
 
@@ -244,9 +252,17 @@ def lfilter(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
             ``batch_shape + (n_sections, 2)``.  Forces the sequential path.
         block_size: chunk length for the block-parallel decomposition;
             ``None`` forces the plain sequential scan.
+        engine: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'pallas',
+            'scan', or 'block'.
     """
+    if engine == "auto":
+        engine = "pallas" if (zi is None and _on_tpu()) else "xla"
+    if engine == "pallas" and zi is None:
+        from .pallas_iir import pallas_lfilter
+        return pallas_lfilter(coeffs, x, axis=axis, interpret=not _on_tpu())
     x = jnp.moveaxis(x, axis, -1)
-    if zi is not None or block_size is None or x.shape[-1] <= block_size:
+    if (engine == "scan" or zi is not None or block_size is None
+            or x.shape[-1] <= block_size):
         y, _ = _sos_scan(x, coeffs.sos, zi)
     else:
         y = x
