@@ -1,0 +1,180 @@
+// Native host-side data runtime.
+//
+// The reference feeds its models through torch DataLoaders with up to 120
+// Python worker processes running scipy per sample
+// (XAI_Multimodality.py:294).  In this framework all DSP runs on-device;
+// what remains on the host is pure data movement — gathering shuffled
+// windows out of a big float32 store into contiguous batch buffers, fixing
+// NaNs, and keeping a ring of batches ready ahead of the device.  That is
+// exactly the part Python threads cannot scale (GIL), so it lives here:
+//
+//   * gather_windows(): multithreaded strided gather + per-channel
+//     NaN->mean repair (same semantics as ops.nanfix / data.crop_eeg_window)
+//   * BatchQueue: N worker threads fill a bounded ring of pre-allocated
+//     batch buffers from an epoch permutation; the consumer (Python)
+//     pops complete batches without holding the GIL.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// gather_windows: out[i] = src[idx[i]] with NaN->channel-mean repair.
+//   src:   (n_records, channels, length) float32
+//   idx:   (batch,) int64 record indices
+//   out:   (batch, channels, length) float32
+// ---------------------------------------------------------------------------
+void gather_windows(const float* src, const int64_t* idx, float* out,
+                    int64_t batch, int64_t channels, int64_t length,
+                    int n_threads) {
+  const int64_t rec_stride = channels * length;
+  auto work = [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      const float* rec = src + idx[i] * rec_stride;
+      float* dst = out + i * rec_stride;
+      for (int64_t c = 0; c < channels; ++c) {
+        const float* ch = rec + c * length;
+        float* oc = dst + c * length;
+        // first pass: mean of finite values
+        double sum = 0.0;
+        int64_t cnt = 0;
+        bool any_nan = false;
+        for (int64_t t = 0; t < length; ++t) {
+          float v = ch[t];
+          if (std::isnan(v)) {
+            any_nan = true;
+          } else {
+            sum += v;
+            ++cnt;
+          }
+        }
+        if (!any_nan) {
+          std::memcpy(oc, ch, sizeof(float) * length);
+        } else {
+          const float mean = cnt > 0 ? static_cast<float>(sum / cnt) : 0.0f;
+          for (int64_t t = 0; t < length; ++t) {
+            float v = ch[t];
+            oc[t] = std::isnan(v) ? mean : v;
+          }
+        }
+      }
+    }
+  };
+  if (n_threads <= 1 || batch < 2) {
+    work(0, batch);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int64_t per = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t b = t * per, e = std::min(batch, b + per);
+    if (b >= e) break;
+    pool.emplace_back(work, b, e);
+  }
+  for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// BatchQueue: background batch assembly with a bounded ring.
+// ---------------------------------------------------------------------------
+struct BatchQueue {
+  const float* src = nullptr;       // (n_records, channels, length)
+  const float* labels = nullptr;    // (n_records, n_classes)
+  int64_t channels = 0, length = 0, n_classes = 0;
+  int64_t batch = 0;
+  std::vector<int64_t> order;       // epoch permutation
+  std::atomic<int64_t> cursor{0};
+  int64_t n_batches = 0;
+
+  std::queue<std::pair<std::vector<float>, std::vector<float>>> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  size_t capacity = 4;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<int> active_workers{0};
+
+  void worker_loop(int n_threads_gather) {
+    for (;;) {
+      int64_t b = cursor.fetch_add(1);
+      if (b >= n_batches || stop.load()) break;
+      std::vector<float> xbuf(batch * channels * length);
+      std::vector<float> ybuf(batch * n_classes);
+      const int64_t* idx = order.data() + b * batch;
+      gather_windows(src, idx, xbuf.data(), batch, channels, length,
+                     n_threads_gather);
+      for (int64_t i = 0; i < batch; ++i)
+        std::memcpy(ybuf.data() + i * n_classes,
+                    labels + idx[i] * n_classes, sizeof(float) * n_classes);
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return ready.size() < capacity || stop.load(); });
+      if (stop.load()) break;
+      ready.emplace(std::move(xbuf), std::move(ybuf));
+      cv_ready.notify_one();
+    }
+    if (active_workers.fetch_sub(1) == 1) cv_ready.notify_all();
+  }
+};
+
+void* bq_create(const float* src, const float* labels, const int64_t* order,
+                int64_t n_order, int64_t channels, int64_t length,
+                int64_t n_classes, int64_t batch, int n_workers,
+                int queue_capacity) {
+  auto* q = new BatchQueue();
+  q->src = src;
+  q->labels = labels;
+  q->channels = channels;
+  q->length = length;
+  q->n_classes = n_classes;
+  q->batch = batch;
+  q->order.assign(order, order + n_order);
+  q->n_batches = n_order / batch;
+  q->capacity = queue_capacity > 0 ? queue_capacity : 4;
+  int nw = n_workers > 0 ? n_workers : 2;
+  q->active_workers = nw;
+  for (int i = 0; i < nw; ++i)
+    q->workers.emplace_back(&BatchQueue::worker_loop, q, 1);
+  return q;
+}
+
+// Pops one batch into caller buffers. Returns 1 on success, 0 when drained.
+int bq_next(void* handle, float* x_out, float* y_out) {
+  auto* q = static_cast<BatchQueue*>(handle);
+  std::unique_lock<std::mutex> lk(q->mu);
+  q->cv_ready.wait(lk, [&] {
+    return !q->ready.empty() || q->active_workers.load() == 0;
+  });
+  if (q->ready.empty()) return 0;
+  auto item = std::move(q->ready.front());
+  q->ready.pop();
+  q->cv_space.notify_one();
+  lk.unlock();
+  std::memcpy(x_out, item.first.data(), item.first.size() * sizeof(float));
+  std::memcpy(y_out, item.second.data(), item.second.size() * sizeof(float));
+  return 1;
+}
+
+int64_t bq_num_batches(void* handle) {
+  return static_cast<BatchQueue*>(handle)->n_batches;
+}
+
+void bq_destroy(void* handle) {
+  auto* q = static_cast<BatchQueue*>(handle);
+  q->stop.store(true);
+  q->cv_space.notify_all();
+  q->cv_ready.notify_all();
+  for (auto& th : q->workers) th.join();
+  delete q;
+}
+
+}  // extern "C"

@@ -1,0 +1,130 @@
+"""ctypes facade over the C++ host loader (see hostloader.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hostloader.cpp")
+_LIB = os.path.join(_HERE, "libhostloader.so")
+
+
+@functools.lru_cache(maxsize=1)
+def _load_lib() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
+                                    < os.path.getmtime(_SRC)):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-pthread", _SRC, "-o", _LIB],
+                check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    lib = ctypes.CDLL(_LIB)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gather_windows.argtypes = [f32p, i64p, f32p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int]
+    lib.bq_create.restype = ctypes.c_void_p
+    lib.bq_create.argtypes = [f32p, f32p, i64p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_int, ctypes.c_int]
+    lib.bq_next.restype = ctypes.c_int
+    lib.bq_next.argtypes = [ctypes.c_void_p, f32p, f32p]
+    lib.bq_num_batches.restype = ctypes.c_int64
+    lib.bq_num_batches.argtypes = [ctypes.c_void_p]
+    lib.bq_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def gather_windows(src: np.ndarray, idx: np.ndarray,
+                   n_threads: int = 4) -> np.ndarray:
+    """out[i] = src[idx[i]] with per-channel NaN→mean repair.
+
+    ``src``: (N, C, T) float32 contiguous.  Numpy fallback when the native
+    library is unavailable.
+    """
+    src = np.ascontiguousarray(src, np.float32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    B, C, T = len(idx), src.shape[1], src.shape[2]
+    lib = _load_lib()
+    if lib is None:
+        out = src[idx].copy()
+        mean = np.nanmean(out, axis=-1, keepdims=True)
+        mean = np.where(np.isnan(mean), 0.0, mean)
+        return np.where(np.isnan(out), mean, out)
+    out = np.empty((B, C, T), np.float32)
+    lib.gather_windows(_f32p(src), _i64p(idx), _f32p(out), B, C, T,
+                       int(n_threads))
+    return out
+
+
+class NativeBatchQueue:
+    """Background-threaded batch assembly over a resident float32 store —
+    the C++ replacement for the reference's multi-process DataLoader.
+
+    Iterates ``{"x": (B, C, T), "y": (B, n_classes)}`` batches for one
+    epoch.  Falls back to a single-threaded numpy path without g++.
+    """
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, n_workers: int = 2,
+                 capacity: int = 4):
+        self.x = np.ascontiguousarray(x, np.float32)
+        self.y = np.ascontiguousarray(y, np.float32)
+        self.batch_size = batch_size
+        order = np.arange(len(x), dtype=np.int64)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n = (len(order) // batch_size) * batch_size
+        self.order = order[:n]
+        self.n_workers = n_workers
+        self.capacity = capacity
+
+    def __len__(self) -> int:
+        return len(self.order) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        lib = _load_lib()
+        B = self.batch_size
+        C, T = self.x.shape[1], self.x.shape[2]
+        K = self.y.shape[1]
+        if lib is None:
+            for s in range(0, len(self.order), B):
+                sel = self.order[s:s + B]
+                yield {"x": gather_windows(self.x, sel), "y": self.y[sel]}
+            return
+        handle = lib.bq_create(_f32p(self.x), _f32p(self.y),
+                               _i64p(self.order), len(self.order),
+                               C, T, K, B, self.n_workers, self.capacity)
+        try:
+            while True:
+                xb = np.empty((B, C, T), np.float32)
+                yb = np.empty((B, K), np.float32)
+                if not lib.bq_next(ctypes.c_void_p(handle), _f32p(xb),
+                                   _f32p(yb)):
+                    return
+                yield {"x": xb, "y": yb}
+        finally:
+            lib.bq_destroy(ctypes.c_void_p(handle))
