@@ -15,6 +15,7 @@ from .efficientnet import EfficientNetB0  # noqa: F401
 from .fusion import MultimodalModel  # noqa: F401
 from .speccnn import SpectrogramCNN  # noqa: F401
 from .vit import SpectrogramViT  # noqa: F401
+from .torch_import import load_torch_vit_state_dict  # noqa: F401
 from .wavenet import (DilatedInception, DilatedInceptionWaveNet,  # noqa: F401
                       GatedTCN, WaveBlock)
 

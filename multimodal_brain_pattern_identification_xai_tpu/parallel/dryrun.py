@@ -9,19 +9,13 @@ and the template for pod-scale training: a (data, model, seq) mesh where
 * the classifier head is tensor-parallel over ``model``
   (column→row dense pair, :mod:`.tp`).
 
-Gradients are computed *inside* shard_map (so the backward passes of the
-forward collectives — all_gather transpose, psum broadcast — run as real
-cross-shard communication) and then reduced with explicitly-correct
-collectives per parameter group:
-
-* encoder params (replicated; used distinctly per (data, seq) shard,
-  duplicated across ``model``):   psum over ('data', 'seq');
-* TP head shards (distinct per ``model`` shard; head compute duplicated
-  across ``seq`` with identical pooled inputs, so per-seq grads are equal,
-  not partial):                   psum over ('data',) only.
-
-The SGD update runs in the same shard_map, so parameters keep their
-shardings across steps.
+Differentiation happens OUTSIDE the shard_map with replication checking
+ON: shard_map's varying-axes machinery then inserts the pbroadcast/psum
+corrections that make cotangents of replicated parameters exact.  (Taking
+``jax.grad`` *inside* with ``check_rep=False`` leaves per-leaf replication
+factors — psum's transpose is psum — that are easy to get subtly wrong;
+tests/test_aux_components.py pins exact equality against the single-device
+step.)
 """
 
 from __future__ import annotations
@@ -74,38 +68,33 @@ def make_dp_tp_sp_train_step(mesh: Mesh, encoder: LongEEGEncoder,
     ``(params, x, y) -> (new_params, loss)`` with x (B, C, T) sharded
     P('data', None, 'seq') and y (B, n_classes) sharded P('data')."""
 
-    def local_step(params, x_local, y_local):
-        def global_loss(p):
-            pooled = encoder.local_forward(p["enc"], x_local,
-                                           axis_name="seq")    # (b_loc, D)
-            logits = tp.tp_mlp(pooled, p["k1"], p["b1"], p["k2"], p["b2"],
-                               activation=jax.nn.relu, axis_name="model")
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            local_sum = -jnp.sum(y_local * logp)
-            total = jax.lax.psum(local_sum, "data")
-            count = jax.lax.psum(
-                jnp.asarray(y_local.shape[0], logp.dtype), "data")
-            return total / count
+    def local_loss(params, x_local, y_local):
+        pooled = encoder.local_forward(params["enc"], x_local,
+                                       axis_name="seq")        # (b_loc, D)
+        logits = tp.tp_mlp(pooled, params["k1"], params["b1"],
+                           params["k2"], params["b2"],
+                           activation=jax.nn.relu, axis_name="model")
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        total = jax.lax.psum(-jnp.sum(y_local * logp), "data")
+        count = jax.lax.psum(jnp.asarray(y_local.shape[0], logp.dtype),
+                             "data")
+        return total / count
 
-        loss, g = jax.value_and_grad(global_loss)(params)
-        g["enc"] = jax.lax.psum(g["enc"], ("data", "seq"))
-        for name in ("k1", "b1", "k2", "b2"):
-            g[name] = jax.lax.psum(g[name], ("data",))
-        new_params = jax.tree_util.tree_map(lambda p_, g_: p_ - lr * g_,
-                                            params, g)
-        return new_params, loss
-
-    specs = param_specs  # evaluated per-call on the real pytree
-
-    def step(params, x, y):
-        sp = specs(params)
-        fn = shard_map(local_step, mesh=mesh,
+    def loss_fn(params, x, y):
+        sp = param_specs(params)
+        fn = shard_map(local_loss, mesh=mesh,
                        in_specs=(sp, P("data", None, "seq"), P("data")),
-                       out_specs=(sp, P()),
-                       check_rep=False)
+                       out_specs=P())    # replication checking ON
         return fn(params, x, y)
 
-    return jax.jit(step)
+    @jax.jit
+    def step(params, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        new_params = jax.tree_util.tree_map(lambda p_, g_: p_ - lr * g_,
+                                            params, grads)
+        return new_params, loss
+
+    return step
 
 
 def place_inputs(mesh: Mesh, params: Dict[str, Any], x, y):

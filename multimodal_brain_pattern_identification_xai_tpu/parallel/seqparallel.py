@@ -151,22 +151,32 @@ class LongEEGEncoder:
         return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
     def local_forward(self, params, x_local: jnp.ndarray,
-                      axis_name: Optional[str] = "seq") -> jnp.ndarray:
-        """x_local: (B, C, T_local) with T_local divisible by ``patch``."""
+                      axis_name: Optional[str] = "seq",
+                      return_attn: bool = False):
+        """x_local: (B, C, T_local) with T_local divisible by ``patch``.
+
+        With ``return_attn=True`` also returns the per-layer attention
+        weights stacked as (depth, B, H, L_local, L_full) — the input to
+        attention rollout (BASELINE.json config #4).
+        """
         B, Cc, Tl = x_local.shape
         tokens = x_local.reshape(B, Cc, Tl // self.patch, self.patch)
         tokens = tokens.transpose(0, 2, 3, 1).reshape(
             B, Tl // self.patch, self.patch * Cc)
         h = tokens @ params["embed"] + params["embed_b"]
+        attns = []
         for lyr in params["layers"]:
             a_in = self._ln(h, *lyr["ln1"])
             qkv = a_in @ lyr["qkv"]
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if axis_name is not None:
-                a = sequence_parallel_attention(q, k, v, self.n_heads,
-                                                axis_name)
+                a, w = sequence_parallel_attention(q, k, v, self.n_heads,
+                                                   axis_name,
+                                                   return_weights=True)
             else:
-                a = _local_attention(q, k, v, self.n_heads)
+                a, w = _local_attention(q, k, v, self.n_heads,
+                                        return_weights=True)
+            attns.append(w)
             h = h + a @ lyr["proj"]
             m_in = self._ln(h, *lyr["ln2"])
             m = jax.nn.gelu(m_in @ lyr["fc1"] + lyr["fc1_b"])
@@ -179,10 +189,13 @@ class LongEEGEncoder:
         else:
             total, count = local_sum, jnp.asarray(h.shape[1], h.dtype)
         pooled = total / count
-        return pooled @ params["head"] + params["head_b"]
+        logits = pooled @ params["head"] + params["head_b"]
+        if return_attn:
+            return logits, jnp.stack(attns)
+        return logits
 
 
-def _local_attention(q, k, v, n_heads):
+def _local_attention(q, k, v, n_heads, return_weights: bool = False):
     B, L, D = q.shape
     hd = D // n_heads
     qh = q.reshape(B, L, n_heads, hd)
@@ -190,7 +203,10 @@ def _local_attention(q, k, v, n_heads):
     vh = v.reshape(B, L, n_heads, hd)
     s = jnp.einsum("blhd,bmhd->bhlm", qh, kh) / np.sqrt(hd)
     w = jax.nn.softmax(s, -1)
-    return jnp.einsum("bhlm,bmhd->blhd", w, vh).reshape(B, L, D)
+    out = jnp.einsum("bhlm,bmhd->blhd", w, vh).reshape(B, L, D)
+    if return_weights:
+        return out, w
+    return out
 
 
 def long_eeg_forward(encoder: LongEEGEncoder, params, x: jnp.ndarray,
@@ -204,3 +220,22 @@ def long_eeg_forward(encoder: LongEEGEncoder, params, x: jnp.ndarray,
         check_rep=False,
     )
     return fn(params, x)
+
+
+def long_eeg_rollout(encoder: LongEEGEncoder, params, x: jnp.ndarray,
+                     mesh: Mesh):
+    """Sequence-parallel forward + attention rollout over the full token
+    axis (config #4: long-EEG transformer with attention-rollout
+    attribution).  Returns (logits, rollout (B, L, L))."""
+    fn = shard_map(
+        functools.partial(encoder.local_forward, axis_name="seq",
+                          return_attn=True),
+        mesh=mesh,
+        in_specs=(P(), P(None, None, "seq")),
+        # attention weights: (depth, B, H, L_local, L) — queries sharded
+        out_specs=(P(), P(None, None, None, "seq", None)),
+        check_rep=False,
+    )
+    logits, attn = fn(params, x)
+    from ..xai.rollout import attention_rollout
+    return logits, attention_rollout(list(attn))

@@ -17,3 +17,5 @@ from .trainer import Trainer, TrainerConfig  # noqa: F401
 from .cv import group_kfold, stratified_kfold, run_cv  # noqa: F401
 from .grid_search import parallel_grid_search  # noqa: F401
 from .diffeeg_trainer import DiffEEGTrainer  # noqa: F401
+from .init import initialize_kaiming_weights  # noqa: F401
+from .analyze import analyze_checkpoints  # noqa: F401
