@@ -33,29 +33,71 @@ class _EEGNetStem(nn.Module):
     d: int = 2
     f2: int = 16
     dropout_rate: float = 0.5
+    #: inference-time operator reassociation (exact; see below)
+    fused_inference: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
-        x = nn.Conv(self.f1, (1, self.kern_length), padding="SAME",
-                    use_bias=False, name="conv1")(x)
-        x = batch_norm(train)(x)
+        conv1 = nn.Conv(self.f1, (1, self.kern_length), padding="SAME",
+                        use_bias=False, name="conv1")
+        bn1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="bn1")
         # Depthwise (Chans, 1) conv with groups=F1, expressed as an einsum
         # contraction over the channel-height axis: (a) it maps onto the
         # MXU as one dense contraction instead of F1 skinny grouped convs,
         # and (b) XLA's SPMD partitioner mis-shards grouped-conv *gradients*
         # on multi-axis meshes (silently zeroing them — caught by
         # tests/test_parallel.py), which the einsum form avoids entirely.
-        # Kernel layout kept = torch/flax grouped-conv HWIO (H,1,F1? no —
-        # (Chans, 1, 1, F1·D)) so weights stay layout-compatible.
         dw_kernel = self.param(
             "depthwiseConv_kernel",
             nn.initializers.lecun_normal(),
             (self.chans, self.f1, self.d))
-        # x: (B, Chans, T, F1) → (B, 1, T, F1·D); group g output d uses
-        # only input channel g (depthwise semantics).
-        x = jnp.einsum("bhtg,hgd->btgd", x, dw_kernel)
-        x = x.reshape(x.shape[0], 1, x.shape[1], self.f1 * self.d)
-        x = batch_norm(train)(x)
+
+        if train or not self.fused_inference:
+            # canonical order: temporal conv → BN → channel contraction
+            u = conv1(x)                                  # (B, H, T, F1)
+            u = bn1(u)
+            v = jnp.einsum("bhtg,hgd->btgd", u, dw_kernel)
+            v = v.reshape(v.shape[0], 1, v.shape[1], self.f1 * self.d)
+        else:
+            # Inference reassociation (exact): the (1, kern) temporal conv
+            # is per-group and the depthwise stage only contracts the
+            # channel-height axis, so they commute; BN1 with running stats
+            # is a per-group affine that folds through the contraction.
+            # This avoids materializing the (B, Chans, T, F1) intermediate
+            # (~900 MB at batch 256) — ~10× less HBM traffic and FLOPs.
+            # BN affine extracted via a 2-point probe (bn(1)-bn(0), bn(0)).
+            probe = jnp.concatenate(
+                [jnp.zeros((1, 1, 1, self.f1), x.dtype),
+                 jnp.ones((1, 1, 1, self.f1), x.dtype)], axis=2)
+            bp = bn1(probe)
+            o_g = bp[0, 0, 0]                             # (F1,)
+            s_g = bp[0, 0, 1] - o_g                       # (F1,)
+
+            # materialize conv1's params via a dummy call (so init through
+            # this path builds the same tree as the train path), then use
+            # its kernel taps directly
+            _ = conv1(jnp.zeros((1, 1, self.kern_length, 1), x.dtype))
+            w1 = conv1.variables["params"]["kernel"]      # (1, k, 1, F1)
+            k_taps = w1[0, :, 0, :]                       # (kern, F1)
+            # channel contraction first: z[b,t,g,d] = Σ_h x[b,h,t] K[h,g,d]
+            z = jnp.einsum("bht,hgd->btgd", x[..., 0], dw_kernel)
+            B, T = z.shape[0], z.shape[1]
+            z = z.reshape(B, T, self.f1 * self.d)
+            # per-group temporal conv: tile taps over the d sub-channels
+            taps = jnp.repeat(k_taps, self.d, axis=-1)    # (kern, F1·D)
+            z = jax.lax.conv_general_dilated(
+                z, taps[:, None, :], (1,), "SAME",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.f1 * self.d)
+            # affine after both contractions:
+            #   v[g,d] = s_g · z[g,d] + o_g · Σ_h K[h,g,d]
+            sumK = jnp.sum(dw_kernel, axis=0).reshape(-1)  # (F1·D,)
+            scale = jnp.repeat(s_g, self.d)                # (F1·D,)
+            bias = jnp.repeat(o_g, self.d) * sumK          # (F1·D,)
+            v = (scale * z + bias).reshape(B, 1, T, self.f1 * self.d)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(v)
         x = nn.elu(x)
         x = avg_pool(x, (1, 4))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

@@ -146,3 +146,26 @@ def test_batchnorm_updates_running_stats(rng):
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(after, before))
+
+
+def test_eegnet_fused_inference_exact(rng):
+    """The stem's inference-time operator reassociation (channel
+    contraction before the temporal conv, BN folded through) must be
+    bitwise-near the canonical order."""
+    from multimodal_brain_pattern_identification_xai_tpu.models.eegnet import (
+        _EEGNetStem)
+    import flax.linen as nn
+    x = jnp.asarray(rng.standard_normal((2, 37, 384, 1)), jnp.float32)
+    stem_f = _EEGNetStem(37, 16, 8, 2, 16, 0.5, fused_inference=True)
+    stem_c = _EEGNetStem(37, 16, 8, 2, 16, 0.5, fused_inference=False)
+    v = stem_f.init(jax.random.PRNGKey(0), x, True)
+    # move BN stats off their init values
+    (_, _), mut = stem_f.apply(v, x, True, mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+    v = {**v, **mut}
+    yf, sf = stem_f.apply(v, x)
+    yc, sc = stem_c.apply(v, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sc),
+                               rtol=1e-5, atol=1e-5)
