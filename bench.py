@@ -29,29 +29,32 @@ def main() -> None:
         synthetic_raw_eeg)
 
     B = 256
-    N_BATCHES = 4
     rng = np.random.default_rng(0)
-    raws = [jnp.asarray(synthetic_raw_eeg(B, rng)) for _ in range(N_BATCHES)]
+    raw = jnp.asarray(synthetic_raw_eeg(B, rng))
 
     model = models.EEGNetAttentionRegularized()
     pre = jax.jit(ops.hms_eeg_preprocess)
-    x0 = pre(raws[0][:2])
+    x0 = pre(raw[:2])
     variables = model.init(jax.random.PRNGKey(0), x0)
     variables = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
     infer = jax.jit(lambda x: model.apply(variables, x))
+    # chain each iteration's input on the previous output: uncacheable by
+    # construction, negligible extra work
+    perturb = jax.jit(lambda r, logp: r + jnp.mean(logp) * 1e-6)
 
     def step(raw):
         return infer(pre(raw))
 
     # warmup / compile
-    for r in raws:
-        jax.block_until_ready(step(r))
+    out = step(raw)
+    jax.block_until_ready(perturb(raw, out))
 
     iters = 12
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(raws[i % N_BATCHES])
+    for _ in range(iters):
+        out = step(raw)
+        raw = perturb(raw, out)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     wps = B * iters / elapsed

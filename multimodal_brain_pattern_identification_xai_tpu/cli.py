@@ -240,6 +240,52 @@ def cmd_xai(args) -> int:
     return 0
 
 
+def cmd_sanity_check(args) -> int:
+    """Autoencoder sanity training + sample grids — the counterpart of the
+    reference's MNIST sanity loop (main.py:226-271, diffEEG.py:151-212,
+    DiffEEG_utils.py:551-599) on synthetic digit-like blobs (the MNIST
+    files themselves are an external dataset)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from . import models, utils
+
+    rng = np.random.default_rng(args.seed)
+    # synthetic "digits": gaussian blobs at class-dependent positions
+    n = 256
+    yy, xx = np.mgrid[0:28, 0:28]
+    centers = rng.uniform(6, 22, size=(n, 2))
+    imgs = np.exp(-(((yy[None] - centers[:, :1, None]) ** 2
+                     + (xx[None] - centers[:, 1:, None]) ** 2) / 18.0))
+    imgs = imgs.astype(np.float32)
+
+    model = models.DiffEEGSanityCheck(input_dim=784, hidden=128)
+    x = jnp.asarray(imgs)
+    variables = model.init(jax.random.PRNGKey(args.seed), x[:2])
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+    params = variables["params"]
+
+    @jax.jit
+    def step(params, opt_state, xb):
+        def loss(p):
+            out = model.apply({"params": p}, xb)
+            return jnp.mean((out - xb) ** 2)
+        l, g = jax.value_and_grad(loss)(params)
+        upd, opt_state2 = tx.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state2, l
+
+    epochs = args.epochs or 50
+    for epoch in range(epochs):
+        params, opt_state, l = step(params, opt_state, x)
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            recon = np.asarray(model.apply({"params": params}, x[:16]))
+            utils.plot_sample_grid(recon.reshape(-1, 28, 28), args.ckpt_dir,
+                                   f"sanity_recon_epoch{epoch}")
+            print(f"epoch {epoch}: mse {float(l):.5f}")
+    return 0
+
+
 def cmd_cache_build(args) -> int:
     from . import data
     cfg = _load_cfg(args)
@@ -264,6 +310,7 @@ COMMANDS = {
     "generate": cmd_generate,
     "xai": cmd_xai,
     "cache-build": cmd_cache_build,
+    "sanity-check": cmd_sanity_check,
     "bench": cmd_bench,
 }
 

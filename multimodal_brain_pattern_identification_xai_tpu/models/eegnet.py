@@ -84,12 +84,17 @@ class _EEGNetStem(nn.Module):
             z = jnp.einsum("bht,hgd->btgd", x[..., 0], dw_kernel)
             B, T = z.shape[0], z.shape[1]
             z = z.reshape(B, T, self.f1 * self.d)
-            # per-group temporal conv: tile taps over the d sub-channels
+            # per-group temporal conv, expressed as a dense conv with a
+            # diagonal channel mixing (identical math; F1·D=16 channels is
+            # tiny, and dense convs avoid both the grouped-conv gradient
+            # partitioner bug and pathologically slow grouped-conv
+            # compiles observed on TPU toolchains)
             taps = jnp.repeat(k_taps, self.d, axis=-1)    # (kern, F1·D)
+            eye = jnp.eye(self.f1 * self.d, dtype=taps.dtype)
+            dense = taps[:, None, :] * eye[None, :, :]    # (kern, C, C)
             z = jax.lax.conv_general_dilated(
-                z, taps[:, None, :], (1,), "SAME",
-                dimension_numbers=("NHC", "HIO", "NHC"),
-                feature_group_count=self.f1 * self.d)
+                z, dense, (1,), "SAME",
+                dimension_numbers=("NHC", "HIO", "NHC"))
             # affine after both contractions:
             #   v[g,d] = s_g · z[g,d] + o_g · Σ_h K[h,g,d]
             sumK = jnp.sum(dw_kernel, axis=0).reshape(-1)  # (F1·D,)

@@ -124,3 +124,24 @@ def plot_saliency_heatmap(saliency: np.ndarray, save_dir: str,
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_sample_grid(images: np.ndarray, save_dir: str,
+                     name: str = "samples", ncols: int = 8) -> str:
+    """Image-grid dump (reference ``visualize_samples`` for the MNIST
+    sanity runs, DiffEEG_utils.py:532-549). ``images``: (N, H, W)."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    n = len(images)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(ncols, nrows))
+    axes = np.atleast_2d(axes)
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols, i % ncols]
+        ax.axis("off")
+        if i < n:
+            ax.imshow(images[i], cmap="gray")
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
