@@ -103,6 +103,19 @@ def butter_lowpass(cutoff: float, fs: float, order: int) -> FilterCoeffs:
     return FilterCoeffs.make(b, a, sos)
 
 
+def cascade(*filters: FilterCoeffs) -> FilterCoeffs:
+    """Compose filters into one SOS cascade (LTI composition is exact:
+    applying the cascade equals applying the filters in sequence)."""
+    b = np.asarray([1.0])
+    a = np.asarray([1.0])
+    sos = []
+    for f in filters:
+        b = np.polymul(b, np.asarray(f.b))
+        a = np.polymul(a, np.asarray(f.a))
+        sos.extend(f.sos)
+    return FilterCoeffs.make(b, a, np.asarray(sos))
+
+
 @functools.lru_cache(maxsize=64)
 def iirnotch(freq: float, quality: float, fs: float) -> FilterCoeffs:
     """Second-order IIR notch design (data_utils.py:138-141)."""

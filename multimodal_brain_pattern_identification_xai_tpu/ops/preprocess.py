@@ -58,7 +58,8 @@ def eeg_transform(x: jnp.ndarray,
 
 def hms_eeg_preprocess(x: jnp.ndarray,
                        cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
-                       signal: C.SignalConfig = C.SignalConfig()) -> jnp.ndarray:
+                       signal: C.SignalConfig = C.SignalConfig(),
+                       assume_finite: bool = False) -> jnp.ndarray:
     """Batched ``HMS_EEG_Dataset.single_map_func`` (XAI_Multimodality.py:786-797).
 
     ``x``: (..., 20, 10000) raw parquet rows (EEG_COLUMNS order, µV).
@@ -68,16 +69,27 @@ def hms_eeg_preprocess(x: jnp.ndarray,
     denoise (order-6 bandpass, 4-tap flat rolling mean, ::4 decimate) →
     per-channel z-score → channel select (19+18) → pad to 3000 → add the
     leading singleton "image" channel.
+
+    ``assume_finite=True`` — the serving/benchmark fast path when the host
+    loader already repaired NaNs (data.crop_eeg_window /
+    runtime.gather_windows): with finite inputs the NaN repair is the
+    identity and both bandpasses commute with the (linear) montage, so the
+    chain collapses to montage → ONE 11-section cascade — half the kernel
+    passes, mathematically identical output (tested).
     """
     fs = float(signal.sampling_rate)
     bp1 = iir.butter_bandpass(cfg.bandpass.low, cfg.bandpass.high, fs,
                               cfg.first_bandpass_order)
-    x = iir.lfilter(bp1, x, axis=-1)
-    x = nanfix.nan_to_channel_mean(x, axis=-1)
-    x = montage.bipolar_differential(x)                     # (..., 38, T)
     bp2 = iir.butter_bandpass(cfg.bandpass.low, cfg.bandpass.high, fs,
                               cfg.denoise_bandpass_order)
-    y = iir.lfilter(bp2, x, axis=-1)
+    if assume_finite:
+        x = montage.bipolar_differential(x)                 # (..., 38, T)
+        y = iir.lfilter(iir.cascade(bp1, bp2), x, axis=-1)
+    else:
+        x = iir.lfilter(bp1, x, axis=-1)
+        x = nanfix.nan_to_channel_mean(x, axis=-1)
+        x = montage.bipolar_differential(x)                 # (..., 38, T)
+        y = iir.lfilter(bp2, x, axis=-1)
     y = resample.rolling_mean4_flat(y)
     y = resample.decimate(y, cfg.decimate_stride, axis=-1, drop_last=True)
     y = normalize.zscore(y, axis=-1, eps=cfg.zscore_eps)

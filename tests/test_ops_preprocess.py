@@ -105,3 +105,14 @@ def test_mirror_eeg_swaps_hemispheres(rng):
     np.testing.assert_array_equal(got[f2i["Fp1"]], x[f2i["Fp2"]])
     np.testing.assert_array_equal(got[f2i["T3"]], x[f2i["T4"]])
     np.testing.assert_array_equal(got[f2i["Fz"]], x[f2i["Fz"]])
+
+
+def test_assume_finite_fast_path_matches_reference_chain(rng):
+    """With finite inputs, montage→single-cascade equals the reference
+    order (NaN repair is identity; LTI filters commute with the linear
+    montage)."""
+    import jax.numpy as jnp
+    x = (rng.standard_normal((2, 20, 4000)) * 40).astype(np.float32)
+    a = np.asarray(ops.hms_eeg_preprocess(jnp.asarray(x)))
+    b = np.asarray(ops.hms_eeg_preprocess(jnp.asarray(x), assume_finite=True))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)  # z-scored units
