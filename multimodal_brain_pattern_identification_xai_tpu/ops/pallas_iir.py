@@ -37,13 +37,12 @@ LANE_TILE = 1024          # 8 sublanes × 128 lanes
 TIME_BLOCK = 512
 
 
-def _make_kernel(coefs: Tuple[Tuple[float, ...], ...], time_block: int,
-                 unroll: int = 8):
-    """Kernel body.  ``unroll`` consecutive timesteps are read/written as
-    one VMEM vector transaction and computed in registers — per-step VMEM
-    latency is the dominant cost of the scalar-step formulation."""
+def _make_kernel(coefs: Tuple[Tuple[float, ...], ...], time_block: int):
+    """Kernel body.  (A time-unrolled variant that batched VMEM reads was
+    measured perf-neutral on v5e — the cost is per-vreg-step issue
+    overhead, not VMEM latency — and compiled far slower, so the scalar
+    step stays.)"""
     K = len(coefs)
-    assert time_block % unroll == 0
 
     def kernel(x_ref, o_ref, state):
         j = pl.program_id(1)
@@ -52,25 +51,21 @@ def _make_kernel(coefs: Tuple[Tuple[float, ...], ...], time_block: int,
         def _():
             state[...] = jnp.zeros_like(state)
 
-        def body(c, zs):
-            t0 = c * unroll
-            chunk = x_ref[0, pl.ds(t0, unroll)]          # (U, 8, 128)
-            ys = []
-            for u in range(unroll):                      # registers only
-                v = chunk[u]
-                for k, (b0, b1, b2, a1, a2) in enumerate(coefs):
-                    z0, z1 = zs[2 * k], zs[2 * k + 1]
-                    y = b0 * v + z0
-                    z0n = b1 * v + z1 - a1 * y
-                    z1n = b2 * v - a2 * y
-                    zs = zs[:2 * k] + (z0n, z1n) + zs[2 * k + 2:]
-                    v = y
-                ys.append(v)
-            o_ref[0, pl.ds(t0, unroll)] = jnp.stack(ys)
-            return zs
+        def body(t, zs):
+            v = x_ref[0, t]
+            new = []
+            for k, (b0, b1, b2, a1, a2) in enumerate(coefs):
+                z0, z1 = zs[2 * k], zs[2 * k + 1]
+                y = b0 * v + z0
+                z0n = b1 * v + z1 - a1 * y
+                z1n = b2 * v - a2 * y
+                new.extend([z0n, z1n])
+                v = y
+            o_ref[0, t] = v
+            return tuple(new)
 
         init = tuple(state[k // 2, k % 2] for k in range(2 * K))
-        final = jax.lax.fori_loop(0, time_block // unroll, body, init)
+        final = jax.lax.fori_loop(0, time_block, body, init)
         for k in range(K):
             state[k, 0] = final[2 * k]
             state[k, 1] = final[2 * k + 1]
