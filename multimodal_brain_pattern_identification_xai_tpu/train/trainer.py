@@ -45,7 +45,12 @@ class TrainerConfig:
 class Trainer:
     def __init__(self, state: TrainState, cfg: TrainerConfig,
                  ckpt_dir: Optional[str] = None,
-                 loggers: Optional[List[Any]] = None) -> None:
+                 loggers: Optional[List[Any]] = None,
+                 epoch_callbacks: Optional[List[Any]] = None) -> None:
+        #: per-epoch hooks ``cb(trainer, epoch, val_result)`` — e.g. the
+        #: reference's per-epoch LIME snapshots during combined training
+        #: (XAI_Multimodality.py:1657-1679)
+        self.epoch_callbacks = epoch_callbacks or []
         self.state = state
         self.cfg = cfg
         self.train_step = make_train_step(l2_lambda=cfg.l2_lambda)
@@ -134,6 +139,8 @@ class Trainer:
             logger.info(msg)
             for lg in self.loggers:
                 lg.log_evaluation(val_result, epoch)
+            for cb in self.epoch_callbacks:
+                cb(self, epoch, val_result)
             if self.cfg.es_patience and bad_epochs >= self.cfg.es_patience:
                 logger.info(f"early stop at epoch {epoch}")
                 break

@@ -163,3 +163,44 @@ def test_long_eeg_rollout(rng):
     assert logits.shape == (2, 6)
     assert roll.shape == (2, L, L)
     np.testing.assert_allclose(np.asarray(roll.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_sharded_attributions_match_single_device(rng):
+    mesh = parallel.make_mesh(C.MeshConfig(data=8, model=1, seq=1))
+    model = models.SpectrogramCNN()
+    x = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x[:2])
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    fwd = lambda xx: model.apply(variables, xx)
+    tgt = jnp.argmax(fwd(x), -1)
+
+    ref = xai.integrated_gradients(fwd, x, None, tgt, steps=16)
+    got = xai.sharded_integrated_gradients(mesh, fwd, x, None, tgt, steps=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+    bg = jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    ref_eg = xai.expected_gradients(fwd, x, bg, key, tgt, nsamples=4)
+    got_eg = xai.sharded_expected_gradients(mesh, fwd, x, bg, key, tgt,
+                                            nsamples=4)
+    np.testing.assert_allclose(np.asarray(got_eg), np.asarray(ref_eg),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_epoch_callbacks(tmp_path, rng):
+    from multimodal_brain_pattern_identification_xai_tpu import train as T
+    model = models.EEGNet(samples=128, kern_length=8)
+    x = jnp.asarray(rng.standard_normal((4, 1, 37, 128)), jnp.float32)
+    y = jnp.asarray(np.eye(6, dtype=np.float32)[rng.integers(0, 6, 4)])
+    tx = T.state.make_optimizer(1e-3)
+    state = T.create_train_state(model, (x,), tx, jax.random.PRNGKey(0))
+    calls = []
+    trainer = T.Trainer(state, T.TrainerConfig(epochs=2,
+                                               eval_metrics=("kldiv",)),
+                        epoch_callbacks=[
+                            lambda tr, ep, res: calls.append((ep, res))])
+    batch = {"x": np.asarray(x), "y": np.asarray(y)}
+    trainer.train_eval(lambda: iter([batch]), lambda: iter([batch]))
+    assert [c[0] for c in calls] == [0, 1]
+    assert "kldiv" in calls[0][1]
