@@ -123,4 +123,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--gradcam" in sys.argv:
+        bench_gradcam()
+    else:
+        main()
