@@ -8,9 +8,11 @@ chain (order-5 bandpass → NaN repair → montage → order-6 denoise bandpass
 → flat rolling mean → ::4 decimate → z-score → channel select → pad) as
 Pallas/XLA programs → EEGNetAttentionRegularized inference → log-probs.
 
-Measurement notes: several *distinct* input batches rotate through the
-timed loop (defeats any identical-call caching in the runtime stack) and
-every iteration blocks on the output.  Prints ONE JSON line.
+Measurement notes: each iteration's input is derived from the previous
+iteration's output (multiplicative perturbation), so no two calls are
+value-identical — this defeats the runtime's identical-call memoization
+that makes naive repeated-input timings read 100× too fast.  Prints ONE
+JSON line.  ``--gradcam`` prints the attribution-cost metric instead.
 """
 
 from __future__ import annotations
