@@ -41,8 +41,16 @@ def _default_apply(state: TrainState, params, batch: Dict[str, Any],
 
 def make_train_step(loss_fn: Callable = kldiv_with_logits,
                     l2_lambda: float = 0.0,
-                    ema_decay: Optional[float] = None) -> Callable:
-    """Build a jitted ``(state, batch, rng) -> (state, metrics)`` step."""
+                    ema_decay: Optional[float] = None,
+                    nan_sentinel: bool = True) -> Callable:
+    """Build a jitted ``(state, batch, rng) -> (state, metrics)`` step.
+
+    ``nan_sentinel`` (SURVEY.md §5.3 rebuild plan): when the loss or any
+    gradient is non-finite, the update is SKIPPED (params unchanged) and
+    ``metrics['nonfinite']`` flags the event — the in-jit analogue of the
+    reference's NaN-abort guards (DiffEEG_utils.py:152-176), without
+    aborting the compiled step.
+    """
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, Any],
@@ -60,7 +68,22 @@ def make_train_step(loss_fn: Callable = kldiv_with_logits,
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
+
+        grad_norm = optax_global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        if nan_sentinel:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+
+        new_state = state.apply_gradients(grads=grads)
+        if nan_sentinel:
+            # keep optimizer state untouched on a skipped step
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o)
+                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
+                else n,
+                new_state, state)
+        state = new_state
         if mutable:
             state = state.replace(batch_stats=updates["batch_stats"])
         if ema_decay is not None and state.ema_params is not None:
@@ -69,7 +92,8 @@ def make_train_step(loss_fn: Callable = kldiv_with_logits,
                 state.ema_params, state.params)
             state = state.replace(ema_params=new_ema)
         metrics = {"loss": loss,
-                   "grad_norm": optax_global_norm(grads)}
+                   "grad_norm": grad_norm,
+                   "nonfinite": ~finite}
         return state, metrics
 
     return train_step

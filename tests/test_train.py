@@ -162,3 +162,22 @@ def test_cv_splitters(rng):
     t = train.cv.aggregate_vote_labels(votes)
     np.testing.assert_allclose(t.sum(1), 1.0)
     np.testing.assert_allclose(t[0, 0], 0.5)
+
+
+def test_nan_sentinel_skips_bad_update(rng):
+    """Non-finite batch → loss is NaN but params stay finite & unchanged
+    (SURVEY.md §5.3: in-jit NaN sentinels)."""
+    _, state, batch = _tiny_setup(rng)
+    step = train.make_train_step()
+    bad = dict(batch)
+    bad["x"] = jnp.asarray(np.full_like(np.asarray(batch["x"]), np.nan))
+    before = jax.tree_util.tree_leaves(state.params)
+    state2, m = step(state, bad, jax.random.PRNGKey(0))
+    assert bool(m["nonfinite"])
+    after = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(after, before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a good batch afterwards still works
+    state3, m2 = step(state2, batch, jax.random.PRNGKey(0))
+    assert not bool(m2["nonfinite"])
+    assert np.isfinite(float(m2["loss"]))
