@@ -28,7 +28,8 @@ from .normalize import (  # noqa: F401
     baseline_correction,
 )
 from .nanfix import nan_to_channel_mean  # noqa: F401
-from .resample import decimate, rolling_mean4_flat, pad_or_truncate  # noqa: F401
+from .resample import (decimate, rolling_mean4_flat,  # noqa: F401
+                       rolling_mean4_decimate_flat, pad_or_truncate)
 from .stft import stft, stft_log1p_interp  # noqa: F401
 from .smooth import gaussian_smooth2d  # noqa: F401
 from . import preprocess  # noqa: F401

@@ -84,14 +84,21 @@ def hms_eeg_preprocess(x: jnp.ndarray,
                               cfg.denoise_bandpass_order)
     if assume_finite:
         x = montage.bipolar_differential(x)                 # (..., 38, T)
-        y = iir.lfilter(iir.cascade(bp1, bp2), x, axis=-1)
+        casc = iir.cascade(bp1, bp2)
+        if (iir._on_tpu() and cfg.decimate_stride == 4
+                and x.shape[-1] % 4 == 0):
+            # filter + rolling mean + ::4 decimation in one kernel pass
+            from .pallas_iir import pallas_lfilter_rolldec
+            y = pallas_lfilter_rolldec(casc, x, axis=-1)
+        else:
+            y = iir.lfilter(casc, x, axis=-1)
+            y = resample.rolling_mean4_decimate_flat(y, cfg.decimate_stride)
     else:
         x = iir.lfilter(bp1, x, axis=-1)
         x = nanfix.nan_to_channel_mean(x, axis=-1)
         x = montage.bipolar_differential(x)                 # (..., 38, T)
         y = iir.lfilter(bp2, x, axis=-1)
-    y = resample.rolling_mean4_flat(y)
-    y = resample.decimate(y, cfg.decimate_stride, axis=-1, drop_last=True)
+        y = resample.rolling_mean4_decimate_flat(y, cfg.decimate_stride)
     y = normalize.zscore(y, axis=-1, eps=cfg.zscore_eps)
     y = montage.select_and_map_channels(y)                  # (..., 37, T/4)
     y = resample.pad_or_truncate(y, signal.fixed_length)

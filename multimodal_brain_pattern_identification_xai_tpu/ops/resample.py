@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from typing import Tuple, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def decimate(x: jnp.ndarray, stride: int, axis: int = -1,
@@ -39,6 +41,39 @@ def rolling_mean4_flat(x: jnp.ndarray) -> jnp.ndarray:
     y = (xf + jnp.roll(xf, -1, axis=-1) + jnp.roll(xf, -2, axis=-1)
          + jnp.roll(xf, -3, axis=-1)) / 4.0
     return y.reshape(x.shape)
+
+
+def rolling_mean4_decimate_flat(x: jnp.ndarray, stride: int = 4) -> jnp.ndarray:
+    """Fused ``rolling_mean4_flat`` + ``decimate(stride, drop_last=True)``
+    as ONE strided window-sum — exact when T divides by ``stride``.
+
+    The reference chain computes the flat 4-tap mean over the whole (C, T)
+    plane and then slices ``[:, 0:-1:4]`` per channel
+    (XAI_Multimodality.py:865-866).  With T % 4 == 0 the kept positions are
+    exactly the flat indices ≡ 0 (mod 4), so a single stride-4 window-4
+    average over the flattened plane (with the 3-sample wrap appended)
+    reproduces it while writing T/4 instead of T samples and skipping the
+    three shifted full-size copies ``jnp.roll`` needs.
+    """
+    C, T = x.shape[-2], x.shape[-1]
+    if T % stride != 0:
+        y = rolling_mean4_flat(x)
+        return decimate(y, stride, axis=-1, drop_last=True)
+    lead = x.shape[:-2]
+    plane = C * T
+    xf = x.reshape(lead + (plane,))
+    xf = jnp.concatenate([xf, xf[..., :3]], axis=-1)      # flat wrap
+    win = jnp.asarray([0.25, 0.25, 0.25, 0.25], x.dtype)
+    b = int(np.prod(lead)) if lead else 1
+    y = jax.lax.conv_general_dilated(
+        xf.reshape(b, -1, 1), win.reshape(4, 1, 1),
+        window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    y = y.reshape(lead + (C, T // stride))
+    # reference keeps 2500 of 2500 per channel minus the excluded final
+    # element ([:, 0:-1:4] never reaches index T-1 since T % 4 == 0) —
+    # identical index set, nothing further to trim.
+    return y
 
 
 def pad_or_truncate(x: jnp.ndarray,

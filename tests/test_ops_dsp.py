@@ -140,3 +140,18 @@ def test_baseline_correction(rng):
     got = np.asarray(ops.baseline_correction(x, axis=0))
     np.testing.assert_allclose(got, x - x.mean(0, keepdims=True),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_rolling_mean4_decimate_fused_exact(rng):
+    x = rng.standard_normal((2, 38, 10000)).astype(np.float32)
+    slow = np.asarray(ops.decimate(ops.rolling_mean4_flat(x), 4,
+                                   drop_last=True))
+    fast = np.asarray(ops.rolling_mean4_decimate_flat(x, 4))
+    assert fast.shape == slow.shape == (2, 38, 2500)
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+    # non-divisible T falls back to the two-step path
+    x2 = rng.standard_normal((1, 3, 101)).astype(np.float32)
+    slow2 = np.asarray(ops.decimate(ops.rolling_mean4_flat(x2), 4,
+                                    drop_last=True))
+    fast2 = np.asarray(ops.rolling_mean4_decimate_flat(x2, 4))
+    np.testing.assert_allclose(fast2, slow2, rtol=1e-5, atol=1e-6)

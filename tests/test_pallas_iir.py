@@ -52,3 +52,21 @@ def test_pallas_state_continuity_across_time_blocks(rng):
     many = np.asarray(pallas_lfilter(coeffs, jnp.asarray(x), interpret=True,
                                      time_block=128))
     np.testing.assert_allclose(many, one, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_rolldec_matches_reference(rng):
+    """Fused filter+rolling+decimate vs the float64 scipy golden.  (The
+    fused and separate f32 paths differ from each other by the same ~5e-5
+    relative rounding both carry vs float64 — an order-11 cascade in f32 —
+    so the golden is scipy, at the tolerance the plain kernel also needs.)"""
+    from multimodal_brain_pattern_identification_xai_tpu.ops.pallas_iir import (
+        pallas_lfilter_rolldec)
+    coeffs = iir.butter_bandpass(0.5, 20.0, 200.0, 6)
+    x = (rng.standard_normal((2, 3, 1024)) * 20).astype(np.float32)
+    yref = sps.sosfilt(np.asarray(coeffs.sos), x.astype(np.float64), axis=-1)
+    ref = (yref[..., 0::4][..., :256] + yref[..., 1::4][..., :256]
+           + yref[..., 2::4][..., :256] + yref[..., 3::4][..., :256]) / 4
+    y_fused = pallas_lfilter_rolldec(coeffs, jnp.asarray(x), interpret=True,
+                                     time_block=256)
+    assert y_fused.shape == (2, 3, 256)
+    assert _rel(np.asarray(y_fused), ref) < 2e-4
