@@ -1,0 +1,42 @@
+"""CLI smoke tests — the demo flows of every subcommand that runs in
+seconds on CPU (the driver-style invocations a user would copy)."""
+
+import subprocess
+import sys
+import os
+
+import pytest
+
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def _run(args, tmp_path):
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from multimodal_brain_pattern_identification_xai_tpu.cli import main;"
+         f"raise SystemExit(main({args!r}))"],
+        capture_output=True, text=True, env=ENV, cwd="/root/repo",
+        timeout=900)
+
+
+def test_cli_train_wavenet_demo(tmp_path):
+    r = _run(["train-wavenet", "--demo", "--epochs", "1",
+              "--batch-size", "8", "--ckpt-dir", str(tmp_path),
+              "--set", "n_folds=2"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fold scores" in r.stdout
+    assert os.path.exists(tmp_path / "oof.npy")
+
+
+def test_cli_generate_demo(tmp_path):
+    r = _run(["generate", "--demo", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(tmp_path / "generated_class_5.npy")
+
+
+def test_cli_sanity_check(tmp_path):
+    r = _run(["sanity-check", "--demo", "--epochs", "5",
+              "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(f.startswith("sanity_recon") for f in os.listdir(tmp_path))
