@@ -68,6 +68,92 @@ def bench_gradcam() -> None:
     }))
 
 
+def bench_multimodal() -> None:
+    """Optional mode: full dual-branch pipeline (BASELINE config #3) —
+    raw EEG + raw Kaggle spectrogram → both fused preprocessing chains →
+    late-fusion multimodal classifier.  ``python bench.py --multimodal``."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import (models, ops,
+                                                                 runtime)
+    from multimodal_brain_pattern_identification_xai_tpu.data import (
+        synthetic_raw_eeg, synthetic_raw_spectrogram)
+
+    B = 128
+    rng = np.random.default_rng(0)
+    raw_eeg = jnp.asarray(runtime.gather_windows(
+        synthetic_raw_eeg(B, rng), np.arange(B, dtype=np.int64)))
+    raw_spec = jnp.asarray(synthetic_raw_spectrogram(B, rng))
+
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(),
+        spectrogram_model=models.SpectrogramCNN())
+    pre_e = jax.jit(lambda r: ops.hms_eeg_preprocess(r, assume_finite=True))
+    pre_s = jax.jit(ops.hms_spectrogram_preprocess)
+    xe, xs = pre_e(raw_eeg[:2]), pre_s(raw_spec[:2])
+    v = mm.init(jax.random.PRNGKey(0), xe, xs)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    infer = jax.jit(lambda e, s: mm.apply(v, e, s))
+    perturb = jax.jit(lambda r, o: r * (1.0 + jnp.mean(o) * 1e-4))
+
+    def step(re, rs):
+        return infer(pre_e(re), pre_s(rs))
+
+    out = step(raw_eeg, raw_spec)
+    jax.block_until_ready(perturb(raw_eeg, out))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(raw_eeg, raw_spec)
+        raw_eeg = perturb(raw_eeg, out)
+        raw_spec = perturb(raw_spec, out)
+    jax.block_until_ready(out)
+    wps = B * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "multimodal_windows_per_sec_per_chip",
+        "value": round(wps, 2), "unit": "windows/s",
+        "vs_baseline": round(wps / 10_000.0, 4),
+    }))
+
+
+def bench_diffusion() -> None:
+    """Optional mode: DiffEEG 1000-step class-conditional generation
+    throughput (the reference's hot loop #4 runs 1000 sequential python
+    forwards; here it is one lax.scan).  ``python bench.py --diffusion``."""
+    import jax
+    import jax.numpy as jnp
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu import (diffusion,
+                                                                 models)
+
+    cfg = C.DiffEEGConfig()
+    model = models.DiffEEG(n_channels=cfg.n_channels,
+                           hidden=cfg.hidden_channels)
+    B, T = 64, cfg.input_length
+    x0 = jnp.zeros((B, cfg.n_channels, T))
+    y = jax.nn.one_hot(jnp.arange(B) % 6, 6)
+    spec = jnp.zeros((B, cfg.n_channels, 50, 50))
+    v = model.init(jax.random.PRNGKey(0), x0, y, jnp.zeros((B,)), spec)
+    sched = diffusion.make_schedule(cfg.n_diffusion_steps)
+    den = lambda x, yy, t, s: model.apply(v, x, yy, t, s)
+    gen = jax.jit(lambda key: diffusion.reverse_diffusion(
+        sched, den, key, B, y, spec, (cfg.n_channels, T)))
+
+    out = gen(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = gen(jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    sps_ = B * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "diffeeg_1000step_samples_per_sec_per_chip",
+        "value": round(sps_, 2), "unit": "samples/s",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -127,5 +213,9 @@ def main() -> None:
 if __name__ == "__main__":
     if "--gradcam" in sys.argv:
         bench_gradcam()
+    elif "--multimodal" in sys.argv:
+        bench_multimodal()
+    elif "--diffusion" in sys.argv:
+        bench_diffusion()
     else:
         main()
