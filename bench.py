@@ -18,6 +18,7 @@ JSON line.  ``--gradcam`` prints the attribution-cost metric instead.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -163,7 +164,7 @@ def main() -> None:
 
     from multimodal_brain_pattern_identification_xai_tpu import runtime
 
-    B = 256
+    B = int(os.environ.get("BENCH_BATCH", 256))
     rng = np.random.default_rng(0)
     # host path: the native loader repairs NaNs while assembling batches
     # (runtime/hostloader.cpp), so the device pipeline takes the
