@@ -299,9 +299,23 @@ def _sos_zi(coeffs: FilterCoeffs) -> np.ndarray:
 
 
 def filtfilt(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
-             padlen: Optional[int] = None) -> jnp.ndarray:
+             padlen: Optional[int] = None,
+             engine: str = "auto") -> jnp.ndarray:
     """Zero-phase filtering, semantics of ``scipy.signal.filtfilt`` with the
-    default ``padtype='odd'`` / ``padlen=3*max(len(a),len(b))``."""
+    default ``padtype='odd'`` / ``padlen=3*max(len(a),len(b))``.
+
+    Default engine is the XLA scan: filtfilt's workload here (the 60 Hz
+    spectrogram notch, 400-long axis × B·300 lanes) is short-time/many-
+    lane, where one vectorized scan over all lanes beats the Pallas
+    kernel's sequential lane-tile grid (measured: 2.7k → 1.7k w/s when
+    forced to Pallas).  Pass ``engine='pallas'`` for long-time workloads.
+    """
+    if engine == "auto":
+        engine = "xla"
+    if engine == "pallas":
+        from .pallas_iir import pallas_filtfilt
+        return pallas_filtfilt(coeffs, x, axis=axis, padlen=padlen,
+                               interpret=not _on_tpu())
     x = jnp.moveaxis(x, axis, -1)
     ntaps = max(len(coeffs.a), len(coeffs.b))
     if padlen is None:

@@ -37,11 +37,15 @@ LANE_TILE = 1024          # 8 sublanes × 128 lanes
 TIME_BLOCK = 512
 
 
-def _make_kernel(coefs: Tuple[Tuple[float, ...], ...], time_block: int):
-    """Kernel body.  (A time-unrolled variant that batched VMEM reads was
-    measured perf-neutral on v5e — the cost is per-vreg-step issue
-    overhead, not VMEM latency — and compiled far slower, so the scalar
-    step stays.)"""
+def _make_kernel(coefs: Tuple[Tuple[float, ...], ...], time_block: int,
+                 zi: Tuple[Tuple[float, float], ...] = ()):
+    """Kernel body.  ``zi``: optional per-section static steady-state
+    coefficients — the filter state initializes to ``zi_k · x[0]`` per lane
+    (scipy ``lfilter_zi`` semantics, what filtfilt needs) instead of zeros.
+
+    (A time-unrolled variant that batched VMEM reads was measured
+    perf-neutral on v5e — the cost is per-vreg-step issue overhead, not
+    VMEM latency — and compiled far slower, so the scalar step stays.)"""
     K = len(coefs)
 
     def kernel(x_ref, o_ref, state):
@@ -49,7 +53,13 @@ def _make_kernel(coefs: Tuple[Tuple[float, ...], ...], time_block: int):
 
         @pl.when(j == 0)
         def _():
-            state[...] = jnp.zeros_like(state)
+            if zi:
+                v0 = x_ref[0, 0]
+                for k in range(K):
+                    state[k, 0] = zi[k][0] * v0
+                    state[k, 1] = zi[k][1] * v0
+            else:
+                state[...] = jnp.zeros_like(state)
 
         def body(t, zs):
             v = x_ref[0, t]
@@ -126,10 +136,11 @@ def _make_rolldec_kernel(coefs: Tuple[Tuple[float, ...], ...],
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _pallas_sosfilt_2d(coeffs: FilterCoeffs, x: jnp.ndarray,
                        time_block: int, lane_tile: int,
-                       interpret: bool) -> jnp.ndarray:
+                       interpret: bool,
+                       zi: Tuple[Tuple[float, float], ...] = ()) -> jnp.ndarray:
     """Filter along the last axis of a (lanes, T) array."""
     L, T = x.shape
     # static per-section python-float coefficients
@@ -152,7 +163,7 @@ def _pallas_sosfilt_2d(coeffs: FilterCoeffs, x: jnp.ndarray,
     xr = xp.reshape(n_tiles, sub, 128, Tp).transpose(0, 3, 1, 2)
 
     out = pl.pallas_call(
-        _make_kernel(coefs, time_block),
+        _make_kernel(coefs, time_block, zi),
         out_shape=jax.ShapeDtypeStruct(xr.shape, xr.dtype),
         grid=(n_tiles, n_tblocks),
         in_specs=[pl.BlockSpec((1, time_block, sub, 128),
@@ -173,14 +184,45 @@ def pallas_lfilter(coeffs: FilterCoeffs, x: jnp.ndarray,
                    axis: int = -1,
                    time_block: int = TIME_BLOCK,
                    lane_tile: int = LANE_TILE,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   steady_state_init: bool = False) -> jnp.ndarray:
     """``scipy.signal.sosfilt`` semantics along ``axis``; all other axes are
-    independent lanes.  See module docstring for the execution model."""
+    independent lanes.  ``steady_state_init`` seeds each lane's state with
+    ``lfilter_zi(section)·x[0]`` (filtfilt-style initialization).
+    See module docstring for the execution model."""
     x = jnp.moveaxis(x, axis, -1)
     shape = x.shape
     x2 = x.reshape(-1, shape[-1]).astype(jnp.float32)
-    y2 = _pallas_sosfilt_2d(coeffs, x2, time_block, lane_tile, interpret)
+    zi: Tuple[Tuple[float, float], ...] = ()
+    if steady_state_init:
+        from .iir import _sos_zi
+        zi = tuple((float(a), float(b)) for a, b in _sos_zi(coeffs))
+    y2 = _pallas_sosfilt_2d(coeffs, x2, time_block, lane_tile, interpret, zi)
     y = y2.reshape(shape)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def pallas_filtfilt(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
+                    padlen: int = None, interpret: bool = False,
+                    time_block: int = TIME_BLOCK) -> jnp.ndarray:
+    """Zero-phase filtering (scipy ``filtfilt`` semantics: odd extension,
+    ``lfilter_zi`` initial conditions, forward-backward) with both passes
+    on the Pallas kernel — for the spectrogram notch hot path
+    (data_utils.py:138-141)."""
+    x = jnp.moveaxis(x, axis, -1)
+    ntaps = max(len(coeffs.a), len(coeffs.b))
+    if padlen is None:
+        padlen = 3 * ntaps
+    T = x.shape[-1]
+    left = 2 * x[..., :1] - x[..., 1:padlen + 1][..., ::-1]
+    right = 2 * x[..., -1:] - x[..., -padlen - 1:-1][..., ::-1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+    y = pallas_lfilter(coeffs, ext, time_block=time_block,
+                       interpret=interpret, steady_state_init=True)
+    y = y[..., ::-1]
+    y = pallas_lfilter(coeffs, y, time_block=time_block,
+                       interpret=interpret, steady_state_init=True)
+    y = y[..., ::-1][..., padlen:padlen + T]
     return jnp.moveaxis(y, -1, axis)
 
 

@@ -70,3 +70,21 @@ def test_pallas_rolldec_matches_reference(rng):
                                      time_block=256)
     assert y_fused.shape == (2, 3, 256)
     assert _rel(np.asarray(y_fused), ref) < 2e-4
+
+
+def test_pallas_filtfilt_matches_scipy(rng):
+    from multimodal_brain_pattern_identification_xai_tpu.ops.pallas_iir import (
+        pallas_filtfilt)
+    coeffs = iir.iirnotch(60.0, 30.0, 200.0)
+    x = (rng.standard_normal((4, 400)) * 5).astype(np.float32)
+    ref = sps.filtfilt(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                       x.astype(np.float64), axis=-1)
+    got = np.asarray(pallas_filtfilt(coeffs, jnp.asarray(x), interpret=True,
+                                     time_block=128))
+    assert _rel(got, ref) < 1e-3
+    # axis argument
+    ref0 = sps.filtfilt(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                        x.T.astype(np.float64), axis=0)
+    got0 = np.asarray(pallas_filtfilt(coeffs, jnp.asarray(x.T), axis=0,
+                                      interpret=True, time_block=128))
+    assert _rel(got0, ref0) < 1e-3
