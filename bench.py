@@ -155,6 +155,57 @@ def bench_diffusion() -> None:
     }))
 
 
+def bench_latency() -> None:
+    """Optional mode (BASELINE config #1): single 50 s window latency —
+    raw EEG window → STFT spectrogram → EfficientNet-B0 classify +
+    Grad-CAM, batch = 1.  ``python bench.py --latency``."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import (models, ops,
+                                                                 xai)
+    from multimodal_brain_pattern_identification_xai_tpu.data import (
+        synthetic_raw_eeg)
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(synthetic_raw_eeg(1, rng))          # (1, 20, 10000)
+
+    model = models.EfficientNetB0()
+
+    def make_spec(r):
+        # 50 s window → per-channel STFT log-spectrogram image (3, F, T')
+        s = ops.stft_log1p_interp(r, out_t=300, nperseg=64, noverlap=32)
+        img = jnp.mean(s, axis=1)                          # (B, 33, 300)
+        img = jax.image.resize(img, (r.shape[0], 96, 300), "bilinear")
+        return jnp.repeat(img[:, None, :, :], 3, axis=1)   # (B, 3, 96, 300)
+
+    pre = jax.jit(make_spec)
+    x0 = pre(raw)
+    v = model.init(jax.random.PRNGKey(0), x0)
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    infer = jax.jit(lambda x: model.apply(variables, x))
+    cam = jax.jit(lambda x: xai.grad_cam(model, variables, x))
+    perturb = jax.jit(lambda r, o: r * (1.0 + jnp.mean(o) * 1e-4))
+
+    def step(r):
+        x = pre(r)
+        return infer(x), cam(x)
+
+    out, heat = step(raw)
+    jax.block_until_ready(perturb(raw, out))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, heat = step(raw)
+        raw = perturb(raw, out)
+    jax.block_until_ready(heat)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(json.dumps({
+        "metric": "single_window_stft_effnet_gradcam_latency",
+        "value": round(ms, 3), "unit": "ms",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -218,5 +269,7 @@ if __name__ == "__main__":
         bench_multimodal()
     elif "--diffusion" in sys.argv:
         bench_diffusion()
+    elif "--latency" in sys.argv:
+        bench_latency()
     else:
         main()

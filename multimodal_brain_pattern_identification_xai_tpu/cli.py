@@ -237,6 +237,16 @@ def cmd_xai(args) -> int:
                            seed=args.seed)
     print(f"LIME top label {res['label']}; "
           f"{int(res['mask'].sum())} px in top segments")
+
+    spec_model = models.SpectrogramCNN()
+    sv = spec_model.init(jax.random.PRNGKey(0), spec_in[:2])
+    cam = xai.grad_cam(spec_model,
+                       {"params": sv["params"],
+                        "batch_stats": sv["batch_stats"]},
+                       spec_in[:2], upsample_to=(80, 60))
+    utils.plot_saliency_heatmap(np.asarray(cam[0]), args.ckpt_dir,
+                                "spec_gradcam")
+    print(f"Grad-CAM heatmap {tuple(cam.shape)} saved")
     return 0
 
 
@@ -286,6 +296,31 @@ def cmd_sanity_check(args) -> int:
     return 0
 
 
+def cmd_long_eeg(args) -> int:
+    """Long multi-hour EEG demo (BASELINE config #4): sequence-parallel
+    transformer encoder over a sharded time axis + attention rollout."""
+    import jax
+    import jax.numpy as jnp
+    from . import config as C, parallel, utils
+
+    rng = np.random.default_rng(args.seed)
+    n_dev = jax.device_count()
+    mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=n_dev))
+    enc = parallel.LongEEGEncoder(n_channels=20, patch=200, d_model=128,
+                                  depth=4, n_heads=4)
+    params = enc.init(jax.random.PRNGKey(args.seed))
+    # "multi-hour": T must divide by patch × seq shards; demo uses ~10 min
+    T = 200 * 64 * n_dev
+    x = rng.standard_normal((2, 20, T)).astype(np.float32)
+    logits, roll = parallel.long_eeg_rollout(enc, params, jnp.asarray(x),
+                                             mesh)
+    print(f"devices={n_dev} seq-sharded T={T} ({T/200/60:.1f} min) "
+          f"logits={logits.shape} rollout={tuple(roll.shape)}")
+    utils.plot_saliency_heatmap(np.asarray(roll[0][:200, :200]),
+                                args.ckpt_dir, "long_eeg_rollout")
+    return 0
+
+
 def cmd_cache_build(args) -> int:
     from . import data
     cfg = _load_cfg(args)
@@ -310,6 +345,7 @@ COMMANDS = {
     "generate": cmd_generate,
     "xai": cmd_xai,
     "cache-build": cmd_cache_build,
+    "long-eeg": cmd_long_eeg,
     "sanity-check": cmd_sanity_check,
     "bench": cmd_bench,
 }
