@@ -21,6 +21,7 @@ needed) — the equivalent of the reference's DummyEEGDataset sanity path.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -296,6 +297,33 @@ def cmd_sanity_check(args) -> int:
     return 0
 
 
+def cmd_convert_spectrograms(args) -> int:
+    """Parallel spectrogram parquet→npy conversion (reference main3.py:79-94:
+    joblib loky pool, NaN→0, transpose to (Freq, Time)) — multiprocessing
+    over the parquet directory."""
+    import multiprocessing as mp
+    from functools import partial
+    from . import data
+
+    cfg = _load_cfg(args)
+    src = cfg.paths.train_spectr
+    dst = os.path.join(args.ckpt_dir, "spectrograms_npy")
+    os.makedirs(dst, exist_ok=True)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    with mp.Pool() as pool:
+        n = sum(pool.map(partial(_convert_one, src=src, dst=dst), files))
+    print(f"converted {n} spectrograms → {dst}")
+    return 0
+
+
+def _convert_one(fname: str, src: str, dst: str) -> int:
+    from . import data
+    arr = data.load_spectrogram_parquet(os.path.join(src, fname))
+    arr = np.nan_to_num(arr, nan=0.0).T.astype(np.float32)  # (Freq, Time)
+    np.save(os.path.join(dst, fname.replace(".parquet", ".npy")), arr)
+    return 1
+
+
 def cmd_long_eeg(args) -> int:
     """Long multi-hour EEG demo (BASELINE config #4): sequence-parallel
     transformer encoder over a sharded time axis + attention rollout."""
@@ -346,6 +374,7 @@ COMMANDS = {
     "xai": cmd_xai,
     "cache-build": cmd_cache_build,
     "long-eeg": cmd_long_eeg,
+    "convert-spectrograms": cmd_convert_spectrograms,
     "sanity-check": cmd_sanity_check,
     "bench": cmd_bench,
 }
@@ -359,7 +388,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         p = sub.add_parser(name)
         _add_common(p)
     args = parser.parse_args(argv)
-    import os
     os.makedirs(args.ckpt_dir, exist_ok=True)
     return COMMANDS[args.cmd](args)
 
