@@ -87,28 +87,33 @@ class Attention(nn.Module):
 class SpectrogramBlock(nn.Module):
     """The 5-block spectrogram CNN's building block (models.py:42-77):
     3× conv3x3+ReLU → pool → BN → dropout, with a bilinear-resized
-    1×1-conv skip connection.  NHWC."""
+    1×1-conv skip connection.  NHWC.  ``dtype`` sets the compute dtype
+    (bf16 halves the HBM traffic of the fat early activations; params stay
+    f32)."""
     out_channels: int
     pool_type: str = "max"
     pool_size: Tuple[int, int] = (2, 2)
     dropout_p: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         for i in range(3):
             x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                        name=f"conv{i+1}")(x)
+                        dtype=self.dtype, name=f"conv{i+1}")(x)
             x = nn.relu(x)
         pool = max_pool if self.pool_type == "max" else avg_pool
         x = pool(x, self.pool_size)
-        x = batch_norm(train)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         if identity.shape != x.shape:
             identity = jax.image.resize(
                 identity, identity.shape[:1] + x.shape[1:3] + identity.shape[3:],
                 method="bilinear")  # align_corners=False semantics
-            identity = nn.Conv(self.out_channels, (1, 1), name="conv1x1")(identity)
+            identity = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv1x1")(identity)
         return x + identity
 
 

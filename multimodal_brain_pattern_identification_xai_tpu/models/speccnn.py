@@ -3,6 +3,8 @@ five conv blocks with pooled skip connections → GAP → FC → log-softmax."""
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -11,18 +13,26 @@ from .layers import (SpectrogramBlock, adaptive_avg_pool_1x1, log_softmax,
 
 
 class SpectrogramCNN(nn.Module):
-    """Input (B, 3, 400, 300) NCHW → (B, num_classes) log-probs."""
+    """Input (B, 3, 400, 300) NCHW → (B, num_classes) log-probs.
+
+    ``dtype=jnp.bfloat16`` enables the bf16 serving mode: halves the HBM
+    traffic of the 400×300 activations (params and the softmax stay f32;
+    probability deviation vs f32 is pinned by a test)."""
     num_classes: int = 6
     widths: tuple = (16, 32, 64, 128, 256)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nchw_to_nhwc(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         pools = ("max", "avg", "max", "avg", "max")
         for i, (w, p) in enumerate(zip(self.widths, pools)):
-            x = SpectrogramBlock(w, pool_type=p, name=f"block{i+1}")(x, train)
+            x = SpectrogramBlock(w, pool_type=p, dtype=self.dtype,
+                                 name=f"block{i+1}")(x, train)
         self.sow("intermediates", "feature_map", x)
         x = self.perturb("feature_map", x)
-        x = adaptive_avg_pool_1x1(x)
+        x = adaptive_avg_pool_1x1(x).astype(jnp.float32)
         x = nn.Dense(self.num_classes, name="fc")(x)
         return log_softmax(x)

@@ -169,3 +169,15 @@ def test_eegnet_fused_inference_exact(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sf), np.asarray(sc),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spectrogram_cnn_bf16_mode_close_to_f32(rng):
+    """bf16 serving mode: probabilities stay within 2e-2 of f32."""
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    m32 = models.SpectrogramCNN()
+    v = m32.init(jax.random.PRNGKey(0), x)
+    m16 = models.SpectrogramCNN(dtype=jnp.bfloat16)
+    p32 = np.exp(np.asarray(m32.apply(v, x)))
+    p16 = np.exp(np.asarray(m16.apply(v, x)))
+    assert p16.dtype == np.float32
+    np.testing.assert_allclose(p16, p32, atol=2e-2)
