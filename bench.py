@@ -88,9 +88,10 @@ def bench_multimodal() -> None:
 
     mm = models.MultimodalModel(
         eeg_model=models.EEGNetAttentionRegularized(),
-        # bf16 serving mode for the fat 400x300 activations (probability
-        # deviation vs f32 pinned < 2e-2 by test)
-        spectrogram_model=models.SpectrogramCNN(dtype=jnp.bfloat16))
+        # (bf16 mode exists but measured slower end-to-end here: the
+        # branch is bottlenecked by the notch filtfilt scan, and the bf16
+        # casts break conv/BN fusion — 1.9k vs 2.7k w/s)
+        spectrogram_model=models.SpectrogramCNN())
     pre_e = jax.jit(lambda r: ops.hms_eeg_preprocess(r, assume_finite=True))
     pre_s = jax.jit(ops.hms_spectrogram_preprocess)
     xe, xs = pre_e(raw_eeg[:2]), pre_s(raw_spec[:2])
