@@ -208,8 +208,10 @@ def _biquad_scan(x: jnp.ndarray, sec: Tuple[float, ...],
 
 
 def _biquad_block_parallel(x: jnp.ndarray, sec: Tuple[float, ...],
-                           block: int) -> jnp.ndarray:
-    """Exact block-parallel biquad (zero initial state). x: (..., T)."""
+                           block: int,
+                           z0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Exact block-parallel biquad. x: (..., T); optional per-lane initial
+    DF2T state ``z0`` (..., 2) — zeros by default."""
     T = x.shape[-1]
     pad = (-T) % block
     if pad:
@@ -230,9 +232,10 @@ def _biquad_block_parallel(x: jnp.ndarray, sec: Tuple[float, ...],
     # Chain chunk-boundary states: z_init[k+1] = A^L z_init[k] + z_zs[k].
     def chain(z, z_zs_k):
         return z @ A_blk.T + z_zs_k, z
-    z0 = jnp.zeros(batch_shape + (2,), dt)
+    z_start = (jnp.zeros(batch_shape + (2,), dt) if z0 is None
+               else jnp.broadcast_to(z0, batch_shape + (2,)).astype(dt))
     zs_seq = jnp.moveaxis(z_zs, -2, 0)
-    _, z_inits = jax.lax.scan(chain, z0, zs_seq)
+    _, z_inits = jax.lax.scan(chain, z_start, zs_seq)
     z_inits = jnp.moveaxis(z_inits, 0, -2)       # (..., n_blocks, 2)
 
     # Initial-state contribution: y += O @ z_init  (MXU matmul).
