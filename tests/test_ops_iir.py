@@ -99,3 +99,19 @@ def test_filtfilt_axis0(rng):
                        x.astype(np.float64), axis=0)
     got = np.asarray(iir.filtfilt(coeffs, x, axis=0))
     assert _rel_err(got, ref) < 1e-3
+
+
+def test_block_parallel_with_initial_state(rng):
+    """Per-lane initial DF2T state in the block-parallel path equals the
+    sequential scan with the same zi."""
+    import jax.numpy as jnp
+    coeffs = iir.iirnotch(60.0, 30.0, 200.0)
+    sec = coeffs.sos[0]
+    x = rng.standard_normal((5, 700)).astype(np.float32)
+    z0 = rng.standard_normal((5, 2)).astype(np.float32)
+    seq, _ = iir._sos_scan(jnp.asarray(x), coeffs.sos,
+                           jnp.asarray(z0)[:, None, :])
+    blk = iir._biquad_block_parallel(jnp.asarray(x), sec, 64,
+                                     z0=jnp.asarray(z0))
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(seq),
+                               rtol=1e-4, atol=1e-5)
