@@ -30,7 +30,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         logger.info("multihost: %d processes, %d global devices",
                     jax.process_count(), jax.device_count())
         return True
-    except Exception as exc:  # single-host dev boxes, CI, CPU tests
+    except (RuntimeError, ValueError) as exc:
+        # Expected when no cluster is configured (single-host dev boxes,
+        # CI, CPU tests) or the runtime is already initialized.  Anything
+        # else — e.g. a misconfigured coordinator address raising a
+        # connection error — propagates so real cluster bugs aren't
+        # silently reported as "single-process mode".
         logger.info("single-process mode (%s)", exc)
         return False
 
