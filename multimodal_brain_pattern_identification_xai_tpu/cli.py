@@ -38,6 +38,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap the number of records/rows (real-data smoke)")
+    p.add_argument("--workers", type=int, default=8,
+                   help="host loader threads for cache builds")
+    p.add_argument("--one-fold", action="store_true",
+                   help="train only fold 0 of the CV split")
+    p.add_argument("--lime-every", type=int, default=0,
+                   help="per-epoch LIME snapshot interval (0 = off; "
+                        "--demo defaults to 1)")
 
 
 def _load_cfg(args):
@@ -46,8 +55,23 @@ def _load_cfg(args):
     return cfg
 
 
+def _device_transform_chunks(raw: np.ndarray, fn, chunk: int = 256
+                             ) -> np.ndarray:
+    """Run a jitted per-batch transform over a large host array in fixed
+    chunks (bounded HBM; at most two compiled shapes)."""
+    import jax
+    import jax.numpy as jnp
+    jfn = jax.jit(fn)
+    outs = []
+    for s in range(0, len(raw), chunk):
+        outs.append(np.asarray(jfn(jnp.asarray(raw[s:s + chunk]))))
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
 def cmd_train_wavenet(args) -> int:
-    """CV training of the WaveNet on transformed raw EEG (main_2.py:259-413)."""
+    """CV training of the WaveNet on transformed raw EEG (main_2.py:259-413):
+    train.csv → per-eeg_id vote aggregation → window cache → device-side
+    transform → GroupKFold CV with OOF predictions."""
     import jax
     from . import config as C, data, models, ops, train
 
@@ -57,14 +81,18 @@ def cmd_train_wavenet(args) -> int:
         n = 48
         raw = rng.standard_normal((n, 2000, 19)).astype(np.float32) * 100
         groups = rng.integers(0, 12, n)
-        votes = rng.integers(0, 10, (n, 6))
+        y = train.cv.aggregate_vote_labels(rng.integers(0, 10, (n, 6)))
     else:
-        raise SystemExit("non-demo mode needs the HMS dataset wired via "
-                         "--set paths.data_root=...; use --demo to smoke")
+        src = data.wavenet_arrays(cfg.paths, cache_dir=args.ckpt_dir,
+                                  n_workers=args.workers, limit=args.limit)
+        raw = src["x"]                       # (N, 10000, 20) µV windows
+        groups, y = src["groups"], src["y"]
+        print(f"loaded {len(raw)} eeg windows "
+              f"({raw.nbytes / 1e9:.2f} GB raw)")
 
     tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=True, n_feats=8)
-    x = np.asarray(ops.eeg_transform(raw, tcfg))
-    y = train.cv.aggregate_vote_labels(votes)
+    x = _device_transform_chunks(raw, lambda a: ops.eeg_transform(a, tcfg))
+    del raw
     splits = train.group_kfold(groups, n_splits=cfg.n_folds)
 
     bs = args.batch_size or 16
@@ -91,49 +119,103 @@ def cmd_train_wavenet(args) -> int:
         return train.Trainer(state, tc,
                              ckpt_dir=f"{args.ckpt_dir}/wavenet_fold{fold}")
 
-    oof, scores = train.run_cv(make_trainer, make_loaders, splits, len(x))
+    oof, scores = train.run_cv(make_trainer, make_loaders, splits, len(x),
+                               one_fold_only=args.one_fold)
     np.save(f"{args.ckpt_dir}/oof.npy", oof)
     print("fold scores:", [round(s, 4) for s in scores])
     return 0
 
 
 def cmd_train_multimodal(args) -> int:
-    """Multimodal EEG+spectrogram training (XAI_Multimodality.py §3.4)."""
+    """Multimodal EEG+spectrogram training (XAI_Multimodality.py §3.4):
+    StratifiedKFold on expert consensus → raw host batches → one fused
+    on-device preprocess per batch → MixUp/CoarseDropout augmentation →
+    late-fusion training with optional per-epoch LIME snapshots."""
+    import itertools
+
     import jax
-    from . import config as C, data, models, ops, train
+    import jax.numpy as jnp
+    from . import config as C, data, models, ops, train, xai
 
     cfg = _load_cfg(args)
     rng = np.random.default_rng(args.seed)
-    if not args.demo:
-        raise SystemExit("non-demo mode needs the HMS dataset; use --demo")
-    n = 24
-    raw_eeg = data.synthetic_raw_eeg(n, rng, n_points=2000)
-    raw_spec = data.synthetic_raw_spectrogram(n, rng, shape=(80, 60))
-    y = np.eye(6, dtype=np.float32)[np.arange(n) % 6]
 
-    sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
-    eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec,
-                                                signal=sig)
-    eeg_in, spec_in = np.asarray(eeg_in), np.asarray(spec_in)
+    if args.demo:
+        n = 24
+        sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
+        raw_eeg = data.synthetic_raw_eeg(n, rng, n_points=2000)
+        raw_spec = data.synthetic_raw_spectrogram(n, rng, shape=(80, 60))
+        y = np.eye(6, dtype=np.float32)[np.arange(n) % 6]
+        tr_idx = va_idx = np.arange(n)
+        eeg_model = models.EEGNetAttentionRegularized(samples=600,
+                                                      kern_length=16)
 
-    mm = models.MultimodalModel(
-        eeg_model=models.EEGNetAttentionRegularized(samples=600,
-                                                    kern_length=16),
-        spectrogram_model=models.SpectrogramCNN())
+        def raw_batches(idx, bs, shuffle):
+            return data.batch_iterator(
+                {"eeg": raw_eeg[idx], "spec": raw_spec[idx], "y": y[idx]},
+                bs, shuffle=shuffle, seed=args.seed)
+    else:
+        src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
+                                     n_workers=args.workers,
+                                     limit=args.limit)
+        sig = C.SignalConfig()
+        labels = np.asarray([C.NAME2LABEL[c]
+                             for c in src.meta["expert_consensus"]])
+        splits = train.stratified_kfold(labels, n_splits=cfg.n_folds,
+                                        seed=args.seed)
+        tr_idx, va_idx = splits[0]          # notebook trains fold 0
+        eeg_model = models.EEGNetAttentionRegularized()
+        print(f"fold 0: {len(tr_idx)} train / {len(va_idx)} val rows")
+
+        def raw_batches(idx, bs, shuffle):
+            return src.batches(idx, bs, shuffle=shuffle, seed=args.seed,
+                               drop_last=shuffle)
+
+    bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
+    pp = jax.jit(lambda e, s: ops.preprocess_multimodal(e, s, signal=sig))
+    aug = jax.jit(ops.spectrogram_augment)
+    aug_key = jax.random.PRNGKey(args.seed + 1)
+    counter = itertools.count()
+
+    def train_iter():
+        for batch in raw_batches(tr_idx, bs, True):
+            e, s = pp(jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+            yb = jnp.asarray(batch["y"])
+            # in-batch reference pool for MixUp (the reference sweeps the
+            # train loader once to build it; same distribution)
+            key = jax.random.fold_in(aug_key, next(counter))
+            s, yb = aug(key, s, yb, s, yb)
+            yield {"eeg": e, "spec": s, "y": yb}
+
+    def val_iter():
+        for batch in raw_batches(va_idx, bs, False):
+            e, s = pp(jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+            yield {"eeg": e, "spec": s, "y": batch["y"]}
+
+    mm = models.MultimodalModel(eeg_model=eeg_model,
+                                spectrogram_model=models.SpectrogramCNN())
+    first = next(val_iter())
     tx = train.state.make_optimizer(cfg.trainer.lr)
-    import jax.numpy as jnp
     state = train.create_train_state(
-        mm, (jnp.asarray(eeg_in[:2]), jnp.asarray(spec_in[:2])), tx,
+        mm, (first["eeg"][:2], first["spec"][:2]), tx,
         jax.random.PRNGKey(args.seed))
+
+    callbacks = []
+    lime_every = args.lime_every or (1 if args.demo else 0)
+    if lime_every:
+        callbacks.append(xai.callbacks.LimeEpochSnapshot(
+            mm, np.asarray(first["spec"][0]), f"{args.ckpt_dir}/lime",
+            every=lime_every, n_segments=40, num_samples=150,
+            seed=args.seed))
+
     tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed)
-    trainer = train.Trainer(state, tc, ckpt_dir=f"{args.ckpt_dir}/multimodal")
-    bs = args.batch_size or 8
-
-    def loader():
-        return data.multimodal_batch_iterator(eeg_in, spec_in, y, bs)
-
-    _, best, _ = trainer.train_eval(loader, loader)
+    trainer = train.Trainer(state, tc,
+                            ckpt_dir=f"{args.ckpt_dir}/multimodal",
+                            epoch_callbacks=callbacks)
+    _, best, _ = trainer.train_eval(train_iter, val_iter)
     print(f"best kldiv: {best:.4f}")
+    if lime_every:
+        print(f"lime snapshots: {len(callbacks[0].results)}")
     return 0
 
 

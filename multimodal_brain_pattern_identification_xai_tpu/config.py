@@ -119,6 +119,19 @@ class HMSPreprocessConfig:
 
 
 @dataclass(frozen=True)
+class SpecAugmentConfig:
+    """Spectrogram train-time augmentation — the albumentations pipeline of
+    ``get_augmentations`` (XAI_Multimodality.py:523-533): MixUp against a
+    reference batch (p=0.5) + one full-height time stripe and one
+    full-width frequency stripe CoarseDropout (hole extent 6-10%, p=0.5
+    each), re-expressed as one jitted batched PRNG-driven program."""
+    mixup_prob: float = 0.5
+    mixup_alpha: float = 0.4          # albumentations A.MixUp default Beta α
+    dropout_prob: float = 0.5         # per stripe family
+    stripe_frac: Tuple[float, float] = (0.06, 0.1)
+
+
+@dataclass(frozen=True)
 class TrainerConfig:
     """Classifier trainer parameters (cfg_utils.py:109-127)."""
     epochs: int = 50
@@ -270,7 +283,17 @@ def load_config(path: Optional[str] = None,
         for p in reversed(parts[:-1]):
             d = {p: d}
         cfg = _update_dataclass(cfg, d)
-    return cfg
+    # resolve ${data_root} in the path fields AFTER overrides, so
+    # ``--set paths.data_root=...`` rewires every derived path
+    paths = cfg.paths
+    resolved = {
+        f.name: getattr(paths, f.name).replace("${data_root}",
+                                               paths.data_root)
+        for f in dataclasses.fields(paths)
+        if isinstance(getattr(paths, f.name), str)
+    }
+    return dataclasses.replace(cfg, paths=dataclasses.replace(
+        paths, **resolved))
 
 
 def feature_to_index(columns: Sequence[str] = EEG_COLUMNS) -> Dict[str, int]:

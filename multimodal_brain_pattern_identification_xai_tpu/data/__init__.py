@@ -11,4 +11,8 @@ from .loader import (load_eeg_parquet, load_spectrogram_parquet,  # noqa: F401
 from .batching import (batch_iterator, prefetch_to_device,  # noqa: F401
                        multimodal_batch_iterator)
 from .dummy import (dummy_eeg_dataset, dummy_metadata,  # noqa: F401
-                    synthetic_raw_eeg, synthetic_raw_spectrogram)
+                    synthetic_raw_eeg, synthetic_raw_spectrogram,
+                    write_synthetic_hms_tree)
+from .hms import (aggregate_votes_by_eeg, onehot_consensus,  # noqa: F401
+                  build_or_load_eeg_cache, SpectrogramStore,
+                  wavenet_arrays, MultimodalSource, multimodal_source)

@@ -1,0 +1,219 @@
+"""Real-HMS-dataset composition: metadata → caches → batch sources.
+
+This is the glue the reference spreads across its entry scripts:
+
+* vote aggregation per ``eeg_id``            (main.py:108-122)
+* EEG window cache build/load                (main.py:84-98)
+* per-row multimodal sample assembly         (XAI_Multimodality.py:694-886,
+                                              1114-1307 CombinedDataset)
+* canonical WaveNet CV arrays                (main_2.py:259-413)
+
+Host code only reads parquet and gathers windows; ALL signal processing
+runs on-device (:mod:`..ops`).  Batch sources yield raw numpy windows that
+the CLI maps through one jitted preprocessing program per batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import config as C
+from .loader import (EEGRecordCache, crop_spectrogram, load_eeg_parquet,
+                     load_spectrogram_parquet, load_train_metadata)
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Metadata
+# ---------------------------------------------------------------------------
+
+def aggregate_votes_by_eeg(meta) -> Dict[str, np.ndarray]:
+    """Collapse train.csv rows to one record per ``eeg_id`` with summed,
+    normalized vote targets (main.py:108-122): first patient_id and
+    expert_consensus, per-class vote sums → probability targets.
+
+    Returns dict of aligned arrays: ``eeg_id``, ``patient_id``, ``y``
+    (N, 6) float32, ``consensus`` (class names).
+    """
+    grouped = meta.groupby("eeg_id", sort=True)
+    first = grouped[["patient_id", "expert_consensus"]].agg("first")
+    votes = grouped[list(C.TGT_VOTE_COLS)].agg("sum").to_numpy(np.float64)
+    y = votes / np.maximum(votes.sum(axis=1, keepdims=True), 1e-12)
+    return {
+        "eeg_id": first.index.to_numpy(np.int64),
+        "patient_id": first["patient_id"].to_numpy(np.int64),
+        "y": y.astype(np.float32),
+        "consensus": first["expert_consensus"].to_numpy(),
+    }
+
+
+def onehot_consensus(consensus: Sequence[str]) -> np.ndarray:
+    """Expert-consensus names → one-hot probability targets — the notebook
+    pipeline's ``labels_to_probabilities`` (XAI_Multimodality.py:884-886)."""
+    idx = np.asarray([C.NAME2LABEL[name] for name in consensus])
+    return np.eye(C.N_CLASSES, dtype=np.float32)[idx]
+
+
+# ---------------------------------------------------------------------------
+# Caches
+# ---------------------------------------------------------------------------
+
+def build_or_load_eeg_cache(cache_path: str, eeg_dir: str,
+                            eeg_ids: Sequence[int],
+                            n_points: int = 10_000,
+                            n_workers: int = 8) -> EEGRecordCache:
+    """Load the npz window cache if present, else sweep the parquet dir
+    (threaded) and persist it — the reference's build-if-missing logic
+    (main.py:84-98)."""
+    if os.path.exists(cache_path):
+        cache = EEGRecordCache.load(cache_path)
+        if all(e in cache for e in eeg_ids):
+            logger.info("eeg cache hit: %s (%d records)", cache_path,
+                        len(cache))
+            return cache
+        logger.info("eeg cache stale (missing ids), rebuilding")
+    cache = EEGRecordCache(cache_path)
+    cache.build(eeg_dir, eeg_ids, n_points=n_points, n_workers=n_workers)
+    cache.save()
+    logger.info("built eeg cache: %d records → %s", len(cache), cache_path)
+    return cache
+
+
+class SpectrogramStore:
+    """Raw Kaggle spectrograms keyed by ``spectrogram_id``: (T, 400)
+    float32, time-major, lazily loaded with an optional threaded preload.
+
+    Sources either the parquet directory or a pre-converted ``.npy`` dir
+    (``cli convert-spectrograms`` output, stored (Freq, Time) — reference
+    main3.py:79-94)."""
+
+    def __init__(self, spec_dir: str, npy_dir: Optional[str] = None):
+        self.spec_dir = spec_dir
+        self.npy_dir = npy_dir
+        self._store: Dict[int, np.ndarray] = {}
+
+    def _load(self, spec_id: int) -> np.ndarray:
+        if self.npy_dir is not None:
+            p = os.path.join(self.npy_dir, f"{spec_id}.npy")
+            if os.path.exists(p):
+                return np.load(p).T.astype(np.float32)     # → (T, 400)
+        return load_spectrogram_parquet(self.spec_dir, spec_id)
+
+    def preload(self, spec_ids: Sequence[int], n_workers: int = 8) -> None:
+        ids = sorted({int(s) for s in spec_ids} - set(self._store))
+        if not ids:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for sid, arr in zip(ids, pool.map(self._load, ids)):
+                self._store[sid] = arr
+        logger.info("preloaded %d spectrograms", len(ids))
+
+    def __getitem__(self, spec_id: int) -> np.ndarray:
+        sid = int(spec_id)
+        if sid not in self._store:
+            self._store[sid] = self._load(sid)
+        return self._store[sid]
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+
+# ---------------------------------------------------------------------------
+# WaveNet CV arrays (canonical driver, main_2.py:259-413)
+# ---------------------------------------------------------------------------
+
+def wavenet_arrays(paths: "C.PathsConfig", cache_dir: str,
+                   n_points: int = 10_000, n_workers: int = 8,
+                   limit: Optional[int] = None
+                   ) -> Dict[str, np.ndarray]:
+    """Metadata CSV → vote aggregation → window cache → aligned arrays.
+
+    Returns ``{"x": (N, n_points, 20) raw µV windows, "y": (N, 6) soft
+    targets, "groups": patient ids, "eeg_id": ids}`` — the host-side input
+    to ``ops.eeg_transform`` + ``train.run_cv``.
+    """
+    meta = load_train_metadata(paths.train_csv)
+    agg = aggregate_votes_by_eeg(meta)
+    ids = agg["eeg_id"][:limit] if limit else agg["eeg_id"]
+    cache = build_or_load_eeg_cache(
+        os.path.join(cache_dir, "eeg_cache.npz"), paths.train_eegs, ids,
+        n_points=n_points, n_workers=n_workers)
+    x = np.stack([cache[e] for e in ids])           # (N, n_points, 20)
+    n = len(ids)
+    return {"x": x, "y": agg["y"][:n], "groups": agg["patient_id"][:n],
+            "eeg_id": ids}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal per-row batch source (notebook pipeline, §3.4)
+# ---------------------------------------------------------------------------
+
+class MultimodalSource:
+    """Per-row raw-sample source for the combined EEG+spectrogram pipeline.
+
+    Each metadata row maps to ``{"eeg": (20, 10000) µV window,
+    "spec": (400, 300) offset-cropped plane, "y": (6,) one-hot}`` —
+    the CombinedDataset contract (XAI_Multimodality.py:1114-1307) with
+    label consistency by construction.  Batches stay raw; the device does
+    the DSP (``ops.preprocess_multimodal``).
+    """
+
+    def __init__(self, meta, eeg_cache: EEGRecordCache,
+                 spec_store: SpectrogramStore,
+                 spec_width: int = 300):
+        self.meta = meta.reset_index(drop=True)
+        self.eeg_cache = eeg_cache
+        self.spec_store = spec_store
+        self.spec_width = spec_width
+        self.y = onehot_consensus(self.meta["expert_consensus"])
+
+    def __len__(self) -> int:
+        return len(self.meta)
+
+    def gather(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
+        """Assemble one raw batch for the given row indices."""
+        eeg = np.stack([self.eeg_cache[e].T                  # (20, 10000)
+                        for e in self.meta["eeg_id"].iloc[rows]])
+        specs = []
+        for _, row in self.meta.iloc[rows].iterrows():
+            raw = self.spec_store[row["spectrogram_id"]]
+            off = row.get("spectrogram_label_offset_seconds", None)
+            specs.append(crop_spectrogram(
+                raw, None if off is None or np.isnan(off) else float(off),
+                width=self.spec_width))
+        return {"eeg": eeg, "spec": np.stack(specs), "y": self.y[rows]}
+
+    def batches(self, rows: np.ndarray, batch_size: int,
+                shuffle: bool = False, seed: int = 0,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        rows = np.asarray(rows)
+        if shuffle:
+            rows = rows.copy()
+            np.random.default_rng(seed).shuffle(rows)
+        stop = ((len(rows) // batch_size) * batch_size if drop_last
+                else len(rows))
+        for s in range(0, stop, batch_size):
+            yield self.gather(rows[s:s + batch_size])
+
+
+def multimodal_source(paths: "C.PathsConfig", cache_dir: str,
+                      n_workers: int = 8,
+                      npy_dir: Optional[str] = None,
+                      limit: Optional[int] = None) -> MultimodalSource:
+    """Compose metadata + caches into a :class:`MultimodalSource`
+    (create_k_fold_splits feed, XAI_Multimodality.py:539-571)."""
+    meta = load_train_metadata(paths.train_csv)
+    if limit:
+        meta = meta.iloc[:limit]
+    cache = build_or_load_eeg_cache(
+        os.path.join(cache_dir, "eeg_cache.npz"), paths.train_eegs,
+        meta["eeg_id"].unique(), n_workers=n_workers)
+    store = SpectrogramStore(paths.train_spectr, npy_dir=npy_dir)
+    store.preload(meta["spectrogram_id"].unique(), n_workers=n_workers)
+    return MultimodalSource(meta, cache, store)

@@ -32,6 +32,7 @@ from .resample import (decimate, rolling_mean4_flat,  # noqa: F401
                        rolling_mean4_decimate_flat, pad_or_truncate)
 from .stft import stft, stft_log1p_interp  # noqa: F401
 from .smooth import gaussian_smooth2d  # noqa: F401
+from .augment import spectrogram_augment  # noqa: F401
 from . import preprocess  # noqa: F401
 from .preprocess import (  # noqa: F401
     eeg_transform,

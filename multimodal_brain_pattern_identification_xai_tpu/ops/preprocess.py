@@ -39,7 +39,12 @@ def eeg_transform(x: jnp.ndarray,
     and C' = 8 (magic) or 19.
     """
     if cfg.apply_chris_magic_ch8:
-        x = montage.chris_magic_ch8(x)
+        # raw parquet windows carry 20 columns (incl. EKG), the
+        # transformer's classic input 19 scalp channels — both layouts
+        # name every magic-8 electrode, so pick by width
+        cols = (C.EEG_COLUMNS if x.shape[-1] == len(C.EEG_COLUMNS)
+                else C.EEG_FEATURES)
+        x = montage.chris_magic_ch8(x, cols)
     if cfg.normalize:
         x = normalize.clip_scale(x, cfg.clip_value, cfg.scale)
     if cfg.apply_butter_lowpass_filter:
