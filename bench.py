@@ -8,11 +8,20 @@ chain (order-5 bandpass → NaN repair → montage → order-6 denoise bandpass
 → flat rolling mean → ::4 decimate → z-score → channel select → pad) as
 Pallas/XLA programs → EEGNetAttentionRegularized inference → log-probs.
 
-Measurement notes: each iteration's input is derived from the previous
-iteration's output (multiplicative perturbation), so no two calls are
-value-identical — this defeats the runtime's identical-call memoization
-that makes naive repeated-input timings read 100× too fast.  Prints ONE
-JSON line.  ``--gradcam`` prints the attribution-cost metric instead.
+Measurement notes (hard-won on the axon-tunneled chip):
+
+* each iteration's input is derived from the previous iteration's output
+  (multiplicative perturbation), so no two calls are value-identical —
+  this defeats the runtime's identical-call memoization that makes naive
+  repeated-input timings read 100× too fast;
+* the tunnel charges ~2-3 ms per executable DISPATCH, so the whole
+  step (preprocess + inference + perturbation) is ONE jitted program;
+* ``jax.block_until_ready`` is unreliable over the tunnel — timed loops
+  end with a host readback (``float(jnp.sum(...))``), and the reported
+  value is the median of several repeats.
+
+Prints ONE JSON line.  ``--gradcam`` prints the attribution-cost metric
+instead.
 """
 
 from __future__ import annotations
@@ -23,6 +32,17 @@ import sys
 import time
 
 import numpy as np
+
+
+def _timed_reps(run_chain, state, iters: int, reps: int):
+    """run_chain(state, iters) -> (state, elapsed_seconds); returns the
+    median per-iteration time over ``reps`` repeats (first repeat after
+    warmup, so compile time never leaks in)."""
+    times = []
+    for _ in range(reps):
+        state, dt = run_chain(state, iters)
+        times.append(dt / iters)
+    return sorted(times)[len(times) // 2]
 
 
 def bench_gradcam() -> None:
@@ -80,7 +100,7 @@ def bench_multimodal() -> None:
     from multimodal_brain_pattern_identification_xai_tpu.data import (
         synthetic_raw_eeg, synthetic_raw_spectrogram)
 
-    B = 128
+    B = int(os.environ.get("BENCH_BATCH", 256))
     rng = np.random.default_rng(0)
     raw_eeg = jnp.asarray(runtime.gather_windows(
         synthetic_raw_eeg(B, rng), np.arange(B, dtype=np.int64)))
@@ -88,31 +108,33 @@ def bench_multimodal() -> None:
 
     mm = models.MultimodalModel(
         eeg_model=models.EEGNetAttentionRegularized(),
-        # (bf16 mode exists but measured slower end-to-end here: the
-        # branch is bottlenecked by the notch filtfilt scan, and the bf16
-        # casts break conv/BN fusion — 1.9k vs 2.7k w/s)
-        spectrogram_model=models.SpectrogramCNN())
-    pre_e = jax.jit(lambda r: ops.hms_eeg_preprocess(r, assume_finite=True))
-    pre_s = jax.jit(ops.hms_spectrogram_preprocess)
-    xe, xs = pre_e(raw_eeg[:2]), pre_s(raw_spec[:2])
+        # bf16 serving mode: the spectrogram CNN is MXU-compute-bound
+        # (the f32 story changed once the notch scan stopped dominating);
+        # probability deviation vs f32 is pinned by a test
+        spectrogram_model=models.SpectrogramCNN(dtype=jnp.bfloat16))
+    xe = ops.hms_eeg_preprocess(raw_eeg[:2], assume_finite=True)
+    xs = ops.hms_spectrogram_preprocess(raw_spec[:2])
     v = mm.init(jax.random.PRNGKey(0), xe, xs)
     v = {"params": v["params"], "batch_stats": v["batch_stats"]}
-    infer = jax.jit(lambda e, s: mm.apply(v, e, s))
-    perturb = jax.jit(lambda r, o: r * (1.0 + jnp.mean(o) * 1e-4))
 
+    @jax.jit
     def step(re, rs):
-        return infer(pre_e(re), pre_s(rs))
+        out = mm.apply(v, ops.hms_eeg_preprocess(re, assume_finite=True),
+                       ops.hms_spectrogram_preprocess(rs))
+        f = 1.0 + jnp.mean(out) * 1e-4
+        return re * f, rs * f, out
 
-    out = step(raw_eeg, raw_spec)
-    jax.block_until_ready(perturb(raw_eeg, out))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(raw_eeg, raw_spec)
-        raw_eeg = perturb(raw_eeg, out)
-        raw_spec = perturb(raw_spec, out)
-    jax.block_until_ready(out)
-    wps = B * iters / (time.perf_counter() - t0)
+    def run_chain(state, iters):
+        re, rs = state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            re, rs, out = step(re, rs)
+        _ = float(jnp.sum(out))
+        return (re, rs), time.perf_counter() - t0
+
+    state, _ = run_chain((raw_eeg, raw_spec), 2)   # warmup / compile
+    per_iter = _timed_reps(run_chain, state, iters=10, reps=5)
+    wps = B / per_iter
     print(json.dumps({
         "metric": "multimodal_windows_per_sec_per_chip",
         "value": round(wps, 2), "unit": "windows/s",
@@ -229,32 +251,30 @@ def main() -> None:
                                              np.arange(B, dtype=np.int64)))
 
     model = models.EEGNetAttentionRegularized()
-    pre = jax.jit(lambda r: ops.hms_eeg_preprocess(r, assume_finite=True))
-    x0 = pre(raw[:2])
+    x0 = ops.hms_eeg_preprocess(raw[:2], assume_finite=True)
     variables = model.init(jax.random.PRNGKey(0), x0)
     variables = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
-    infer = jax.jit(lambda x: model.apply(variables, x))
-    # chain each iteration's input on the previous output: uncacheable by
-    # construction, negligible extra work.  Multiplicative so every
-    # element's bit pattern changes (additive eps underflows in f32).
-    perturb = jax.jit(lambda r, logp: r * (1.0 + jnp.mean(logp) * 1e-4))
 
+    # ONE program per iteration: preprocess + inference + the chaining
+    # perturbation (uncacheable by construction; multiplicative so every
+    # element's bit pattern changes — additive eps underflows in f32).
+    @jax.jit
     def step(raw):
-        return infer(pre(raw))
+        logp = model.apply(variables,
+                           ops.hms_eeg_preprocess(raw, assume_finite=True))
+        return raw * (1.0 + jnp.mean(logp) * 1e-4), logp
 
-    # warmup / compile
-    out = step(raw)
-    jax.block_until_ready(perturb(raw, out))
+    def run_chain(raw, iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            raw, logp = step(raw)
+        _ = float(jnp.sum(logp))           # real sync: host readback
+        return raw, time.perf_counter() - t0
 
-    iters = 12
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(raw)
-        raw = perturb(raw, out)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    wps = B * iters / elapsed
+    raw, _ = run_chain(raw, 2)             # warmup / compile
+    per_iter = _timed_reps(run_chain, raw, iters=12, reps=5)
+    wps = B / per_iter
 
     baseline = 10_000.0  # BASELINE.json target windows/sec/chip on v5e
     print(json.dumps({

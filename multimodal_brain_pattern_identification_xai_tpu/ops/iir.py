@@ -246,6 +246,158 @@ def _biquad_block_parallel(x: jnp.ndarray, sec: Tuple[float, ...],
     return y[..., :T] if pad else y
 
 
+def _compose_state_space(sos: Tuple[Tuple[float, ...], ...]):
+    """Compose the K-section cascade into one (A, B, C, D) system whose
+    state vector is the CONCATENATION of the per-section DF2T states (the
+    same layout ``_sos_scan`` carries), with the convention
+
+        z[t] = A z[t-1] + B x[t],      y[t] = C z[t-1] + D x[t].
+
+    The composition is block lower-triangular — it preserves each biquad's
+    damped-rotation structure, so unlike the order-2K companion form it has
+    no catastrophic transient growth in float32.
+    """
+    A = np.zeros((0, 0))
+    B = np.zeros((0,))
+    Cc = np.zeros((0,))
+    D = 1.0
+    for sec in sos:
+        Ak, Bk, Ck, Dk = _section_state_space(sec)
+        n = A.shape[0]
+        A2 = np.zeros((n + 2, n + 2))
+        A2[:n, :n] = A
+        A2[n:, :n] = np.outer(Bk, Cc)       # next section driven by y_k
+        A2[n:, n:] = Ak
+        B = np.concatenate([B, Bk * D])
+        Cc = np.concatenate([Dk * Cc, Ck])
+        A = A2
+        D = Dk * D
+    return A, B, Cc, D
+
+
+@functools.lru_cache(maxsize=256)
+def _cascade_block_matmul_ops(sos: Tuple[Tuple[float, ...], ...],
+                              block: int):
+    """Host-side (float64) operator set for the block-Toeplitz formulation
+    of a whole SOS cascade:
+
+    * ``L``   (block, block): lower-triangular Toeplitz of the cascade's
+      impulse response — zero-state response ``y_zs = L @ x_blk`` (EXACT:
+      within a block the output depends only on that block's inputs plus
+      the entry state, no truncation involved);
+    * ``S``   (block, 2K): block inputs → end-of-block state;
+    * ``A_blk`` (2K, 2K): entry state → end-of-block state (``A^block``);
+    * ``obs`` (block, 2K): entry state → within-block outputs (``C A^t``).
+    """
+    A, B, C, D = _compose_state_space(sos)
+    n = A.shape[0]
+    # impulse response: x = δ0 → h[t]; state after impulse at s: A^{b-1-s} B
+    h = np.zeros(block)
+    S = np.zeros((block, n))
+    z = np.zeros(n)
+    for t in range(block):
+        x_t = 1.0 if t == 0 else 0.0
+        h[t] = C @ z + D * x_t
+        z = A @ z + B * x_t
+    S[block - 1] = B
+    for s in range(block - 2, -1, -1):
+        S[s] = A @ S[s + 1]                 # A^{block-1-s} B
+    idx = np.arange(block)
+    L = np.where(idx[:, None] >= idx[None, :], h[idx[:, None] - idx[None, :]], 0.0)
+    obs = np.zeros((block, n))
+    Ak = np.eye(n)
+    for t in range(block):
+        obs[t] = C @ Ak
+        Ak = Ak @ A
+    A_blk = Ak                               # A^block
+    return L, S, A_blk, obs
+
+
+def _chain_entry_states(z_zs: jnp.ndarray, A_blk: jnp.ndarray,
+                        hi) -> jnp.ndarray:
+    """Entry state of every chunk from the chunks' zero-state exit states:
+    ``z_entry[n] = Σ_{m<n} A_blk^{n-1-m} z_zs[m]`` — computed with a
+    Hillis-Steele scan whose level-j update applies the CONSTANT matrix
+    ``A_blk^(2^j)``, so the whole chain is ceil(log2 n) batched matmuls
+    instead of an n-step sequential scan.
+
+    HIGHEST precision is load-bearing: bf16-rounding ``A_blk`` breaks the
+    cancellation between its large off-diagonal couplings and makes the
+    iterated map unstable (measured ~3×/step blow-up at default TPU
+    precision).  ``z_zs``: (..., n, 2K) → (..., n, 2K).
+    """
+    n = z_zs.shape[-2]
+    dt = z_zs.dtype
+    # inclusive prefix s[n] = Σ_{m≤n} A^{n-m} z_zs[m]
+    s = z_zs
+    A_pow = np.asarray(A_blk, np.float64)
+    shift = 1
+    while shift < n:
+        Aj = jnp.asarray(A_pow, dt)
+        shifted = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(shift, 0), (0, 0)]
+                          )[..., :n, :]
+        s = s + jnp.matmul(shifted, Aj.T, precision=hi)
+        A_pow = A_pow @ A_pow
+        shift *= 2
+    # exclusive version shifted by one block
+    return jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(1, 0), (0, 0)])[..., :n, :]
+
+
+def _cascade_block_matmul(x: jnp.ndarray,
+                          sos: Tuple[Tuple[float, ...], ...],
+                          block: int = 128,
+                          out_map: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Whole-cascade IIR as MXU matmuls (TPU-native formulation).
+
+    Instead of a T-step sequential scan (latency-bound on the VPU), split
+    the time axis into ``block``-length chunks: every chunk's zero-state
+    response and exit state are ONE (lanes·n_blocks, block) @ (block,
+    block+2K) matmul, chunk entry states chain through a log-depth
+    Hillis-Steele scan of constant 2K×2K matrices, and the entry-state
+    contribution is a second matmul against the observation operator.
+    Algebraically exact; all operators are host-precomputed in float64.
+
+    ``out_map``: optional (block_out, block) matrix baked onto the output
+    side — e.g. the rolling-mean-4 + ::4 decimation of ``denoise_filter``
+    (XAI_Multimodality.py:864-866), which is block-local when
+    ``block % 4 == 0``.  The output then has ``block_out`` samples per
+    chunk and the separate post-pass (plus 3/4 of the output bandwidth)
+    disappears.
+    """
+    T = x.shape[-1]
+    pad = (-T) % block
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    n_blocks = x.shape[-1] // block
+    batch_shape = x.shape[:-1]
+    dt = x.dtype
+
+    L_np, S_np, A_blk_np, obs_np = _cascade_block_matmul_ops(sos, block)
+    if out_map is not None:
+        L_np = out_map @ L_np
+        obs_np = out_map @ obs_np
+    L = jnp.asarray(L_np, dt)
+    S = jnp.asarray(S_np, dt)
+    obs = jnp.asarray(obs_np, dt)
+
+    xb = x.reshape(batch_shape + (n_blocks, block))
+    hi = jax.lax.Precision.HIGHEST
+    # zero-state response + exit state of every chunk, one fused matmul
+    LS = jnp.concatenate([L.T, S], axis=-1)      # (block, block_out + 2K)
+    zz = jnp.einsum("...ns,sk->...nk", xb, LS, precision=hi,
+                    preferred_element_type=dt)
+    bo = L.shape[0]
+    y_zs, z_zs = zz[..., :bo], zz[..., bo:]
+
+    z_entry = _chain_entry_states(z_zs, A_blk_np, hi)
+
+    y = y_zs + jnp.einsum("tk,...nk->...nt", obs, z_entry, precision=hi,
+                          preferred_element_type=dt)
+    y = y.reshape(batch_shape + (n_blocks * bo,))
+    T_out = T if out_map is None else (T * bo + block - 1) // block
+    return y[..., :T_out]
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -266,18 +418,20 @@ def lfilter(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
            independent lanes.
         zi: optional initial per-section DF2T state, broadcastable to
             ``batch_shape + (n_sections, 2)``.  Forces the sequential path.
-        block_size: chunk length for the block-parallel decomposition;
+        block_size: chunk length for the block-parallel decompositions;
             ``None`` forces the plain sequential scan.
-        engine: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'pallas',
-            'scan', or 'block'.
+        engine: 'auto' (block-Toeplitz matmul formulation on TPU, XLA
+            elsewhere), 'blockmm', 'pallas', 'scan', or 'block'.
     """
     if engine == "auto":
-        engine = "pallas" if (zi is None and _on_tpu()) else "xla"
+        engine = "blockmm" if (zi is None and _on_tpu()) else "xla"
     if engine == "pallas" and zi is None:
         from .pallas_iir import pallas_lfilter
         return pallas_lfilter(coeffs, x, axis=axis, interpret=not _on_tpu())
     x = jnp.moveaxis(x, axis, -1)
-    if (engine == "scan" or zi is not None or block_size is None
+    if engine == "blockmm" and zi is None and x.shape[-1] > (block_size or 128):
+        y = _cascade_block_matmul(x, coeffs.sos, block_size or 128)
+    elif (engine == "scan" or zi is not None or block_size is None
             or x.shape[-1] <= block_size):
         y, _ = _sos_scan(x, coeffs.sos, zi)
     else:

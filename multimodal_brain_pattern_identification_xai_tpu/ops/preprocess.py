@@ -17,12 +17,25 @@ order 6 (:864).  Both are exposed via :class:`...config.HMSPreprocessConfig`.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import config as C
 from . import iir, montage, nanfix, normalize, resample, smooth
+
+
+@functools.lru_cache(maxsize=8)
+def _rolldec_map(block: int) -> np.ndarray:
+    """(block/4, block) rolling-mean-4 + ::4 decimation operator
+    (denoise_filter tail, XAI_Multimodality.py:865-866): out[u] =
+    mean(y[4u : 4u+4])."""
+    R = np.zeros((block // 4, block))
+    for u in range(block // 4):
+        R[u, 4 * u:4 * u + 4] = 0.25
+    return R
 
 
 # ---------------------------------------------------------------------------
@@ -90,11 +103,13 @@ def hms_eeg_preprocess(x: jnp.ndarray,
     if assume_finite:
         x = montage.bipolar_differential(x)                 # (..., 38, T)
         casc = iir.cascade(bp1, bp2)
-        if (iir._on_tpu() and cfg.decimate_stride == 4
-                and x.shape[-1] % 4 == 0):
-            # filter + rolling mean + ::4 decimation in one kernel pass
-            from .pallas_iir import pallas_lfilter_rolldec
-            y = pallas_lfilter_rolldec(casc, x, axis=-1)
+        if iir._on_tpu() and cfg.decimate_stride == 4:
+            # whole cascade as block-Toeplitz MXU matmuls with the
+            # rolling-mean-4 + ::4 decimation baked into the output
+            # operators (block-local since 128 % 4 == 0) — one matmul
+            # pass instead of a 10k-step sequential kernel
+            y = iir._cascade_block_matmul(x, casc.sos, block=128,
+                                          out_map=_rolldec_map(128))
         else:
             y = iir.lfilter(casc, x, axis=-1)
             y = resample.rolling_mean4_decimate_flat(y, cfg.decimate_stride)
