@@ -55,8 +55,14 @@ class MBConv(nn.Module):
         if self.expand_ratio != 1:
             x = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(x)
             x = nn.silu(batch_norm(train)(x))
+        # torch-style symmetric (k-1)//2 padding: identical to SAME at
+        # stride 1, but at stride 2 SAME pads (0, 1) while torch pads
+        # (p, p) — matching torch keeps imported torchvision weights
+        # logit-exact (see torch_import.load_torch_efficientnet_state_dict)
+        p = (self.kernel - 1) // 2
         x = nn.Conv(mid, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     feature_group_count=mid, use_bias=False,
                     name="depthwise_conv")(x)
         x = nn.silu(batch_norm(train)(x))
@@ -80,7 +86,7 @@ class EfficientNetB0(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nchw_to_nhwc(x)
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     use_bias=False, name="stem_conv")(x)
         x = nn.silu(batch_norm(train)(x))
         for si, (e, c, r, s, k) in enumerate(B0_STAGES):

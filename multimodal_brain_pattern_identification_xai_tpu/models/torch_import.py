@@ -80,3 +80,103 @@ def load_torch_vit_state_dict(state_dict: Dict[str, Any],
     p["ln"]["scale"] = _t(state_dict["encoder.ln.weight"])
     p["ln"]["bias"] = _t(state_dict["encoder.ln.bias"])
     return p
+
+
+def _bn(params: Dict[str, Any], stats: Dict[str, Any],
+        state_dict: Dict[str, Any], src: str) -> None:
+    """Copy one torch BatchNorm (affine + running stats) in place."""
+    params["scale"] = _t(state_dict[f"{src}.weight"])
+    params["bias"] = _t(state_dict[f"{src}.bias"])
+    stats["mean"] = _t(state_dict[f"{src}.running_mean"])
+    stats["var"] = _t(state_dict[f"{src}.running_var"])
+
+
+def _conv_oihw(w) -> np.ndarray:
+    """torch conv weight (O, I, H, W) → flax (H, W, I, O)."""
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def load_torch_eegnet_state_dict(state_dict: Dict[str, Any],
+                                 flax_variables: Dict[str, Any],
+                                 f1: int = 8, d: int = 2) -> Dict[str, Any]:
+    """Map a reference-trained torch ``EEGNet`` state dict (layer names from
+    models.py:239-289: conv1/batchnorm1/depthwiseConv/batchnorm2/
+    separableConv/batchnorm3/dense) onto :class:`..models.eegnet.EEGNet`
+    variables.  Returns a full ``{"params", "batch_stats"}`` dict whose
+    eval-mode logits match the torch module exactly (pinned by
+    tests/test_aux_components.py::test_torch_eegnet_import_logit_parity).
+    """
+    import flax
+    v = flax.core.unfreeze(flax_variables)
+    p, s = v["params"]["stem"], v["batch_stats"]["stem"]
+
+    p["conv1"]["kernel"] = _conv_oihw(state_dict["conv1.weight"])
+    _bn(p["bn1"], s["bn1"], state_dict, "batchnorm1")
+    # torch depthwise (F1·D, 1, Chans, 1), groups=F1, out index g·D+d
+    # → flax contraction kernel K[h, g, d] of shape (Chans, F1, D)
+    w = _t(state_dict["depthwiseConv.weight"])[:, 0, :, 0]   # (F1·D, Chans)
+    p["depthwiseConv_kernel"] = w.reshape(f1, d, -1).transpose(2, 0, 1)
+    _bn(p["bn2"], s["bn2"], state_dict, "batchnorm2")
+    p["separableConv"]["kernel"] = _conv_oihw(state_dict["separableConv.weight"])
+    _bn(p["BatchNorm_0"], s["BatchNorm_0"], state_dict, "batchnorm3")
+    v["params"]["dense"]["kernel"] = _t(state_dict["dense.weight"]).T
+    v["params"]["dense"]["bias"] = _t(state_dict["dense.bias"])
+    return v
+
+
+def load_torch_efficientnet_state_dict(state_dict: Dict[str, Any],
+                                       flax_variables: Dict[str, Any],
+                                       ) -> Dict[str, Any]:
+    """Map a torchvision ``efficientnet_b0`` state dict onto
+    :class:`..models.efficientnet.EfficientNetB0` variables.
+
+    torchvision layout: ``features.0`` stem Conv+BN; ``features.{1..7}``
+    stages of MBConv blocks (``block.0`` expand Conv+BN when expand≠1,
+    then depthwise Conv+BN, SqueezeExcitation ``fc1``/``fc2``, project
+    Conv+BN); ``features.8`` head Conv+BN; ``classifier.1`` Linear.  The
+    classifier is imported only when its output width matches (the
+    reference replaces ImageNet's 1000-way head with the 6-class head).
+    Eval-mode logits match torch exactly — the flax model uses torch's
+    symmetric (k-1)//2 padding on strided convs for this reason.
+    """
+    import flax
+    from .efficientnet import B0_STAGES
+    v = flax.core.unfreeze(flax_variables)
+    p, s = v["params"], v["batch_stats"]
+
+    p["stem_conv"]["kernel"] = _conv_oihw(state_dict["features.0.0.weight"])
+    _bn(p["BatchNorm_0"], s["BatchNorm_0"], state_dict, "features.0.1")
+
+    for si, (e, _c, r, _s, _k) in enumerate(B0_STAGES):
+        for ri in range(r):
+            src = f"features.{si + 1}.{ri}.block"
+            dst_p, dst_s = p[f"stage{si}_block{ri}"], s[f"stage{si}_block{ri}"]
+            i = 0
+            if e != 1:
+                dst_p["expand_conv"]["kernel"] = _conv_oihw(
+                    state_dict[f"{src}.{i}.0.weight"])
+                _bn(dst_p["BatchNorm_0"], dst_s["BatchNorm_0"], state_dict,
+                    f"{src}.{i}.1")
+                i += 1
+            bn_dw, bn_pr = (f"BatchNorm_{i}", f"BatchNorm_{i + 1}")
+            # depthwise: torch (C, 1, k, k) → flax (k, k, 1, C)
+            dst_p["depthwise_conv"]["kernel"] = _conv_oihw(
+                state_dict[f"{src}.{i}.0.weight"])
+            _bn(dst_p[bn_dw], dst_s[bn_dw], state_dict, f"{src}.{i}.1")
+            i += 1
+            for fc, name in (("fc1", "reduce"), ("fc2", "expand")):
+                dst_p["se"][name]["kernel"] = _conv_oihw(
+                    state_dict[f"{src}.{i}.{fc}.weight"])
+                dst_p["se"][name]["bias"] = _t(state_dict[f"{src}.{i}.{fc}.bias"])
+            i += 1
+            dst_p["project_conv"]["kernel"] = _conv_oihw(
+                state_dict[f"{src}.{i}.0.weight"])
+            _bn(dst_p[bn_pr], dst_s[bn_pr], state_dict, f"{src}.{i}.1")
+
+    p["head_conv"]["kernel"] = _conv_oihw(state_dict["features.8.0.weight"])
+    _bn(p["BatchNorm_1"], s["BatchNorm_1"], state_dict, "features.8.1")
+    head_w = _t(state_dict["classifier.1.weight"])
+    if head_w.shape[0] == p["classifier"]["kernel"].shape[1]:
+        p["classifier"]["kernel"] = head_w.T
+        p["classifier"]["bias"] = _t(state_dict["classifier.1.bias"])
+    return v

@@ -92,6 +92,143 @@ def test_torch_vit_import(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_torch_eegnet_import_logit_parity(rng):
+    """A fabricated reference-style torch EEGNet state dict, imported and
+    applied in eval mode, must reproduce the torch eval forward's log-probs
+    (VERDICT item: carry reference-trained weights for fidelity checks)."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    g = torch.Generator().manual_seed(0)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.3
+    f1, d, f2, chans, samples = 8, 2, 16, 37, 480
+    sd = {
+        "conv1.weight": rn(f1, 1, 1, 64),
+        "depthwiseConv.weight": rn(f1 * d, 1, chans, 1),
+        "separableConv.weight": rn(f2, f1 * d, 1, 16),
+        "dense.weight": rn(6, f2 * (samples // 32)),
+        "dense.bias": rn(6),
+    }
+    for bn, c in (("batchnorm1", f1), ("batchnorm2", f1 * d),
+                  ("batchnorm3", f2)):
+        sd[f"{bn}.weight"] = rn(c)
+        sd[f"{bn}.bias"] = rn(c)
+        sd[f"{bn}.running_mean"] = rn(c) * 0.1
+        sd[f"{bn}.running_var"] = torch.rand(c, generator=g) + 0.5
+
+    def torch_forward(x):
+        bn = lambda t, n: F.batch_norm(
+            t, sd[f"{n}.running_mean"], sd[f"{n}.running_var"],
+            sd[f"{n}.weight"], sd[f"{n}.bias"], training=False, eps=1e-5)
+        x = bn(F.conv2d(x, sd["conv1.weight"], padding="same"), "batchnorm1")
+        x = bn(F.conv2d(x, sd["depthwiseConv.weight"], groups=f1),
+               "batchnorm2")
+        x = F.avg_pool2d(F.elu(x), (1, 4))
+        x = bn(F.conv2d(x, sd["separableConv.weight"], padding="same"),
+               "batchnorm3")
+        x = F.avg_pool2d(F.elu(x), (1, 8))
+        x = F.linear(x.flatten(1), sd["dense.weight"], sd["dense.bias"])
+        return F.log_softmax(x, dim=1)
+
+    model = models.EEGNet(samples=samples)
+    x = rng.standard_normal((3, 1, chans, samples)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v2 = models.load_torch_eegnet_state_dict(sd, variables, f1=f1, d=d)
+    got = np.asarray(model.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+        jnp.asarray(x)))
+    want = torch_forward(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_torch_efficientnet_import_logit_parity(rng):
+    """A fabricated torchvision-efficientnet_b0-layout state dict, imported
+    into EfficientNetB0, must reproduce the torch eval forward exactly
+    (this pins the torch-style strided-conv padding alignment too)."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    from multimodal_brain_pattern_identification_xai_tpu.models.efficientnet \
+        import B0_STAGES
+    g = torch.Generator().manual_seed(1)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.15
+
+    def mk_bn(prefix, c, sd):
+        sd[f"{prefix}.weight"] = rn(c)
+        sd[f"{prefix}.bias"] = rn(c)
+        sd[f"{prefix}.running_mean"] = rn(c) * 0.1
+        sd[f"{prefix}.running_var"] = torch.rand(c, generator=g) + 0.5
+
+    sd = {"features.0.0.weight": rn(32, 3, 3, 3)}
+    mk_bn("features.0.1", 32, sd)
+    inp = 32
+    for si, (e, c, r, s, k) in enumerate(B0_STAGES):
+        for ri in range(r):
+            src = f"features.{si + 1}.{ri}.block"
+            mid, i = inp * e, 0
+            if e != 1:
+                sd[f"{src}.0.0.weight"] = rn(mid, inp, 1, 1)
+                mk_bn(f"{src}.0.1", mid, sd)
+                i = 1
+            sd[f"{src}.{i}.0.weight"] = rn(mid, 1, k, k)
+            mk_bn(f"{src}.{i}.1", mid, sd)
+            sq = max(1, inp // 4)
+            sd[f"{src}.{i + 1}.fc1.weight"] = rn(sq, mid, 1, 1)
+            sd[f"{src}.{i + 1}.fc1.bias"] = rn(sq)
+            sd[f"{src}.{i + 1}.fc2.weight"] = rn(mid, sq, 1, 1)
+            sd[f"{src}.{i + 1}.fc2.bias"] = rn(mid)
+            sd[f"{src}.{i + 2}.0.weight"] = rn(c, mid, 1, 1)
+            mk_bn(f"{src}.{i + 2}.1", c, sd)
+            inp = c
+    sd["features.8.0.weight"] = rn(1280, inp, 1, 1)
+    mk_bn("features.8.1", 1280, sd)
+    sd["classifier.1.weight"] = rn(6, 1280)
+    sd["classifier.1.bias"] = rn(6)
+
+    def torch_forward(x):
+        bn = lambda t, n: F.batch_norm(
+            t, sd[f"{n}.running_mean"], sd[f"{n}.running_var"],
+            sd[f"{n}.weight"], sd[f"{n}.bias"], training=False, eps=1e-5)
+        x = F.silu(bn(F.conv2d(x, sd["features.0.0.weight"], stride=2,
+                               padding=1), "features.0.1"))
+        inp = 32
+        for si, (e, c, r, s, k) in enumerate(B0_STAGES):
+            for ri in range(r):
+                src = f"features.{si + 1}.{ri}.block"
+                mid, i, stride = inp * e, 0, (s if ri == 0 else 1)
+                identity = x
+                if e != 1:
+                    x = F.silu(bn(F.conv2d(x, sd[f"{src}.0.0.weight"]),
+                                  f"{src}.0.1"))
+                    i = 1
+                x = F.silu(bn(F.conv2d(x, sd[f"{src}.{i}.0.weight"],
+                                       stride=stride, padding=(k - 1) // 2,
+                                       groups=mid), f"{src}.{i}.1"))
+                se = x.mean((2, 3), keepdim=True)
+                se = F.silu(F.conv2d(se, sd[f"{src}.{i + 1}.fc1.weight"],
+                                     sd[f"{src}.{i + 1}.fc1.bias"]))
+                se = torch.sigmoid(F.conv2d(se, sd[f"{src}.{i + 1}.fc2.weight"],
+                                            sd[f"{src}.{i + 1}.fc2.bias"]))
+                x = x * se
+                x = bn(F.conv2d(x, sd[f"{src}.{i + 2}.0.weight"]),
+                       f"{src}.{i + 2}.1")
+                if stride == 1 and inp == c:
+                    x = x + identity
+                inp = c
+        x = F.silu(bn(F.conv2d(x, sd["features.8.0.weight"]), "features.8.1"))
+        x = F.linear(x.mean((2, 3)), sd["classifier.1.weight"],
+                     sd["classifier.1.bias"])
+        return F.log_softmax(x, dim=1)
+
+    model = models.EfficientNetB0()
+    x = rng.standard_normal((2, 3, 64, 48)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v2 = models.load_torch_efficientnet_state_dict(sd, variables)
+    got = np.asarray(model.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+        jnp.asarray(x)))
+    want = torch_forward(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
 def test_dp_tp_sp_train_step_runs_and_learns(rng):
     mesh = parallel.make_mesh(C.MeshConfig(data=2, model=2, seq=2))
     enc = parallel.LongEEGEncoder(n_channels=4, patch=8, d_model=16,
