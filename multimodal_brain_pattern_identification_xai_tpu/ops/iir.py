@@ -346,7 +346,8 @@ def _chain_entry_states(z_zs: jnp.ndarray, A_blk: jnp.ndarray,
 def _cascade_block_matmul(x: jnp.ndarray,
                           sos: Tuple[Tuple[float, ...], ...],
                           block: int = 128,
-                          out_map: Optional[np.ndarray] = None) -> jnp.ndarray:
+                          out_map: Optional[np.ndarray] = None,
+                          z0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Whole-cascade IIR as MXU matmuls (TPU-native formulation).
 
     Instead of a T-step sequential scan (latency-bound on the VPU), split
@@ -363,6 +364,14 @@ def _cascade_block_matmul(x: jnp.ndarray,
     ``block % 4 == 0``.  The output then has ``block_out`` samples per
     chunk and the separate post-pass (plus 3/4 of the output bandwidth)
     disappears.
+
+    ``z0``: optional per-lane initial state, broadcastable to
+    ``batch_shape + (2K,)`` in the concatenated per-section DF2T layout of
+    ``_compose_state_space`` (i.e. ``_sos_zi(...).reshape(-1)`` order) —
+    what ``filtfilt``'s steady-state initial conditions need.  Folded in by
+    rewriting the first chunk's zero-state exit state (the entry-state
+    recurrence absorbs ``A_blk z0`` there) plus the chunk-0 observation
+    term; no extra sequential work.
     """
     T = x.shape[-1]
     pad = (-T) % block
@@ -382,18 +391,39 @@ def _cascade_block_matmul(x: jnp.ndarray,
 
     xb = x.reshape(batch_shape + (n_blocks, block))
     hi = jax.lax.Precision.HIGHEST
+    # bf16 inputs (serving mode): only the big data matmul reads bf16 —
+    # accumulation, states, and the entry-state chain stay f32 (the
+    # iterated A_blk map is unstable when rounded to bf16; measured
+    # ~3×/step divergence).  f32 inputs: everything f32 at HIGHEST —
+    # measured perf-neutral on v5e (the program is HBM-bandwidth-bound)
+    # while HIGH degrades scipy parity 5e-5 → 2e-4.
+    acc_dt = jnp.float32 if dt == jnp.bfloat16 else dt
+    L = L.astype(acc_dt)
+    S = S.astype(acc_dt)
+    obs = obs.astype(acc_dt)
     # zero-state response + exit state of every chunk, one fused matmul
     LS = jnp.concatenate([L.T, S], axis=-1)      # (block, block_out + 2K)
     zz = jnp.einsum("...ns,sk->...nk", xb, LS, precision=hi,
-                    preferred_element_type=dt)
+                    preferred_element_type=acc_dt)
     bo = L.shape[0]
     y_zs, z_zs = zz[..., :bo], zz[..., bo:]
 
+    if z0 is not None:
+        n_state = z_zs.shape[-1]
+        z0 = jnp.broadcast_to(z0, batch_shape + (n_state,)).astype(acc_dt)
+        A_blk = jnp.asarray(A_blk_np, acc_dt)
+        # z_entry[n≥1] gains A_blk^n z0 — equivalent to exit-state rewrite
+        # ẑ_zs[0] = z_zs[0] + A_blk z0 under the zero-init chain
+        z_zs = z_zs.at[..., 0, :].add(
+            jnp.matmul(z0, A_blk.T, precision=hi))
+
     z_entry = _chain_entry_states(z_zs, A_blk_np, hi)
+    if z0 is not None:
+        z_entry = z_entry.at[..., 0, :].set(z0)
 
     y = y_zs + jnp.einsum("tk,...nk->...nt", obs, z_entry, precision=hi,
-                          preferred_element_type=dt)
-    y = y.reshape(batch_shape + (n_blocks * bo,))
+                          preferred_element_type=acc_dt)
+    y = y.reshape(batch_shape + (n_blocks * bo,)).astype(dt)
     T_out = T if out_map is None else (T * bo + block - 1) // block
     return y[..., :T_out]
 
@@ -461,14 +491,18 @@ def filtfilt(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
     """Zero-phase filtering, semantics of ``scipy.signal.filtfilt`` with the
     default ``padtype='odd'`` / ``padlen=3*max(len(a),len(b))``.
 
-    Default engine is the XLA scan: filtfilt's workload here (the 60 Hz
-    spectrogram notch, 400-long axis × B·300 lanes) is short-time/many-
-    lane, where one vectorized scan over all lanes beats the Pallas
-    kernel's sequential lane-tile grid (measured: 2.7k → 1.7k w/s when
-    forced to Pallas).  Pass ``engine='pallas'`` for long-time workloads.
+    On TPU the default is the block-Toeplitz matmul formulation of the
+    cascade (``_cascade_block_matmul`` with steady-state initial
+    conditions folded into the entry-state chain) — both passes run as
+    MXU matmuls instead of two T-step sequential scans.  Elsewhere the
+    XLA scan: filtfilt's workload here (the 60 Hz spectrogram notch,
+    400-long axis × B·300 lanes) is short-time/many-lane, where one
+    vectorized scan over all lanes beats the Pallas kernel's sequential
+    lane-tile grid (measured: 2.7k → 1.7k w/s when forced to Pallas).
+    Pass ``engine='pallas'`` for long-time workloads.
     """
     if engine == "auto":
-        engine = "xla"
+        engine = "blockmm" if _on_tpu() else "xla"
     if engine == "pallas":
         from .pallas_iir import pallas_filtfilt
         return pallas_filtfilt(coeffs, x, axis=axis, padlen=padlen,
@@ -488,9 +522,17 @@ def filtfilt(coeffs: FilterCoeffs, x: jnp.ndarray, axis: int = -1,
 
     zi = jnp.asarray(_sos_zi(coeffs), x.dtype)   # (K, 2)
 
-    y, _ = _sos_scan(ext, coeffs.sos, zi * ext[..., :1, None])
-    y = y[..., ::-1]
-    y, _ = _sos_scan(y, coeffs.sos, zi * y[..., :1, None])
-    y = y[..., ::-1]
+    if engine == "blockmm":
+        zf = zi.reshape(-1)                      # composed-state layout
+        y = _cascade_block_matmul(ext, coeffs.sos,
+                                  z0=zf * ext[..., :1])
+        y = y[..., ::-1]
+        y = _cascade_block_matmul(y, coeffs.sos, z0=zf * y[..., :1])
+        y = y[..., ::-1]
+    else:
+        y, _ = _sos_scan(ext, coeffs.sos, zi * ext[..., :1, None])
+        y = y[..., ::-1]
+        y, _ = _sos_scan(y, coeffs.sos, zi * y[..., :1, None])
+        y = y[..., ::-1]
     y = y[..., padlen:padlen + T]
     return jnp.moveaxis(y, -1, axis)

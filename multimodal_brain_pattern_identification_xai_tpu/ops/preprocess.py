@@ -143,6 +143,7 @@ def mirror_eeg(x: jnp.ndarray) -> jnp.ndarray:
 def hms_spectrogram_preprocess(spec: jnp.ndarray,
                                cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
                                signal: C.SignalConfig = C.SignalConfig(),
+                               serving_dtype=None,
                                ) -> jnp.ndarray:
     """Batched ``HMS_Spectrogram_Dataset`` chain (XAI_Multimodality.py:705-737).
 
@@ -154,10 +155,18 @@ def hms_spectrogram_preprocess(spec: jnp.ndarray,
     notch ``filtfilt`` down the time axis → Gaussian σ=1 smooth → min-max →
     (anti-aliased identity resize is a no-op at the target size, elided) →
     tile to 3 channels.
+
+    ``serving_dtype=jnp.bfloat16``: serving/benchmark fast path — the chain
+    after NaN repair and baseline correction runs in bf16, halving the HBM
+    traffic of this bandwidth-bound program.  Meant to feed the bf16
+    spectrogram CNN (whose own bf16 deviation is the larger term); the
+    training/XAI path stays f32.
     """
     x = resample.pad_or_truncate(spec, tuple(signal.image_size))
     x = nanfix.nan_to_channel_mean(x, axis=-1)
     x = normalize.baseline_correction(x, axis=-2)
+    if serving_dtype is not None:
+        x = x.astype(serving_dtype)
     notch = iir.iirnotch(cfg.notch_freq_hz, cfg.notch_quality,
                          float(signal.sampling_rate))
     x = iir.filtfilt(notch, x, axis=-2)

@@ -2,6 +2,7 @@
 SHAP plots, torch-ViT weight import, dp-tp-sp dry-run step, long-EEG
 rollout."""
 
+import pytest
 import json
 import os
 
@@ -140,6 +141,7 @@ def test_torch_eegnet_import_logit_parity(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_torch_efficientnet_import_logit_parity(rng):
     """A fabricated torchvision-efficientnet_b0-layout state dict, imported
     into EfficientNetB0, must reproduce the torch eval forward exactly
@@ -248,6 +250,7 @@ def test_dp_tp_sp_train_step_runs_and_learns(rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_dp_tp_sp_grads_match_single_device(rng):
     """One DP×TP×SP step == the unsharded computation (collective
     correctness across all three axes)."""
@@ -288,6 +291,7 @@ def test_dp_tp_sp_grads_match_single_device(rng):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow
 def test_long_eeg_rollout(rng):
     mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
     enc = parallel.LongEEGEncoder(n_channels=2, patch=4, d_model=16,
@@ -302,6 +306,7 @@ def test_long_eeg_rollout(rng):
     np.testing.assert_allclose(np.asarray(roll.sum(-1)), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_attributions_match_single_device(rng):
     mesh = parallel.make_mesh(C.MeshConfig(data=8, model=1, seq=1))
     model = models.SpectrogramCNN()

@@ -20,6 +20,7 @@ def _run(args, tmp_path):
         timeout=900)
 
 
+@pytest.mark.slow
 def test_cli_train_wavenet_demo(tmp_path):
     r = _run(["train-wavenet", "--demo", "--epochs", "1",
               "--batch-size", "8", "--ckpt-dir", str(tmp_path),
@@ -29,6 +30,7 @@ def test_cli_train_wavenet_demo(tmp_path):
     assert os.path.exists(tmp_path / "oof.npy")
 
 
+@pytest.mark.slow
 def test_cli_generate_demo(tmp_path):
     r = _run(["generate", "--demo", "--ckpt-dir", str(tmp_path)], tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]

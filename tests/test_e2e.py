@@ -4,6 +4,7 @@ fused preprocessing → training a multimodal model on the dummy
 DummyEEGDataset sanity flow (dataset.py:230-240) and the full notebook
 pipeline at miniature scale."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ from multimodal_brain_pattern_identification_xai_tpu import (data, models,
                                                              ops, train, xai)
 
 
+@pytest.mark.slow
 def test_full_pipeline_smoke(tmp_path, rng):
     # raw signals like the parquet crops
     n = 12
@@ -82,6 +84,7 @@ def test_wavenet_pipeline_with_eeg_transform(rng):
     assert float(m["loss"]) < l0
 
 
+@pytest.mark.slow
 def test_diffeeg_trainer_smoke(tmp_path, rng):
     """DiffEEG training loop end-to-end at toy scale (SURVEY.md §3.3)."""
     from multimodal_brain_pattern_identification_xai_tpu.models import DiffEEG

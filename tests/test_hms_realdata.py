@@ -89,6 +89,7 @@ def test_multimodal_source_batches(hms_tree, tmp_path):
     assert not np.array_equal(b0["spec"], b1["spec"])
 
 
+@pytest.mark.slow
 def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
     rc = main(["train-wavenet", "--set", f"paths.data_root={hms_tree}",
                "--set", "n_folds=2", "--one-fold", "--epochs", "1",

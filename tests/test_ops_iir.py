@@ -101,6 +101,32 @@ def test_filtfilt_axis0(rng):
     assert _rel_err(got, ref) < 1e-3
 
 
+def test_filtfilt_blockmm_matches_scipy(rng):
+    """The MXU block-Toeplitz filtfilt engine (steady-state zi folded into
+    the entry-state chain) pins to scipy like the scan engine does —
+    single-section notch and a 5-section bandpass cascade."""
+    for coeffs, shape in ((iir.iirnotch(60.0, 30.0, 200.0), (6, 400)),
+                          (iir.butter_bandpass(0.5, 20.0, 200.0, 5), (3, 500))):
+        x = (rng.standard_normal(shape) * 10).astype(np.float32)
+        ref = sps.filtfilt(np.asarray(coeffs.b), np.asarray(coeffs.a),
+                           x.astype(np.float64), axis=-1)
+        got = np.asarray(iir.filtfilt(coeffs, x, axis=-1, engine="blockmm"))
+        assert _rel_err(got, ref) < 1e-3
+
+
+def test_cascade_block_matmul_initial_state(rng):
+    """z0 folding in _cascade_block_matmul equals the sequential scan
+    started from the same per-section state."""
+    import jax.numpy as jnp
+    coeffs = iir.butter_bandpass(0.5, 20.0, 200.0, 3)
+    x = rng.standard_normal((4, 300)).astype(np.float32)
+    z0 = (rng.standard_normal((4, len(coeffs.sos), 2)) * 0.5).astype(np.float32)
+    seq, _ = iir._sos_scan(jnp.asarray(x), coeffs.sos, jnp.asarray(z0))
+    blk = iir._cascade_block_matmul(jnp.asarray(x), coeffs.sos, block=64,
+                                    z0=jnp.asarray(z0).reshape(4, -1))
+    assert _rel_err(np.asarray(blk), np.asarray(seq)) < 5e-4
+
+
 def test_block_parallel_with_initial_state(rng):
     """Per-lane initial DF2T state in the block-parallel path equals the
     sequential scan with the same zi."""

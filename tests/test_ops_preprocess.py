@@ -76,6 +76,19 @@ def test_hms_spectrogram_preprocess_parity(rng):
         assert np.max(np.abs(got[i] - ref)) < 1e-3
 
 
+def test_hms_spectrogram_preprocess_bf16_serving_close_to_f32(rng):
+    """The bf16 serving tail (post NaN-repair/baseline) stays within bf16
+    rounding of the f32 chain — the output is min-maxed to [0, 1], so the
+    bound is absolute."""
+    import jax.numpy as jnp
+    spec = (rng.standard_normal((2, 400, 300)) * 5).astype(np.float32)
+    f32 = np.asarray(ops.hms_spectrogram_preprocess(spec))
+    bf16 = np.asarray(ops.hms_spectrogram_preprocess(
+        spec, serving_dtype=jnp.bfloat16)).astype(np.float32)
+    assert bf16.dtype == np.float32
+    assert np.max(np.abs(bf16 - f32)) < 2e-2
+
+
 def test_eeg_transform_parity(rng):
     x = (rng.standard_normal((3, 10_000, 19)) * 300).astype(np.float32)
     cfg = C.EEGTransformConfig()

@@ -101,6 +101,7 @@ def test_train_step_reduces_loss(rng):
     assert np.isfinite(float(m["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_determinism_same_key_same_logits(rng):
     """Same PRNG key ⇒ bitwise-identical training trajectory (§5.2)."""
     def run():
@@ -116,6 +117,7 @@ def test_determinism_same_key_same_logits(rng):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_trainer_loop_and_checkpoint(tmp_path, rng):
     model, state, batch = _tiny_setup(rng)
     cfg = train.TrainerConfig(epochs=3, eval_metrics=("kldiv", "accuracy"),
@@ -137,6 +139,7 @@ def test_trainer_loop_and_checkpoint(tmp_path, rng):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in la)
 
 
+@pytest.mark.slow
 def test_grid_search_vmapped(rng):
     model = models.DilatedInceptionWaveNet(block_layers=(2,), block_dims=(8,))
     x = jnp.asarray(rng.standard_normal((4, 64, 8)), jnp.float32)
