@@ -330,6 +330,7 @@ def test_sharded_attributions_match_single_device(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_epoch_callbacks(tmp_path, rng):
     from multimodal_brain_pattern_identification_xai_tpu import train as T
     model = models.EEGNet(samples=128, kern_length=8)

@@ -37,6 +37,7 @@ def test_cli_generate_demo(tmp_path):
     assert os.path.exists(tmp_path / "generated_class_5.npy")
 
 
+@pytest.mark.slow
 def test_cli_sanity_check(tmp_path):
     r = _run(["sanity-check", "--demo", "--epochs", "5",
               "--ckpt-dir", str(tmp_path)], tmp_path)

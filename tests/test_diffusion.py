@@ -2,6 +2,7 @@
 scan-based reverse diffusion, EMA semantics, generation metrics
 (SURVEY.md §4 layer 3)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +46,7 @@ def _tiny_denoiser():
     return lambda x, y, t, s: model.apply(variables, x, y, t, s)
 
 
+@pytest.mark.slow
 def test_reverse_diffusion_scan_runs():
     sched = diffusion.make_schedule(20)
     den = _tiny_denoiser()

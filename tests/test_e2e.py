@@ -63,6 +63,7 @@ def test_full_pipeline_smoke(tmp_path, rng):
     assert len(idx) == 5
 
 
+@pytest.mark.slow
 def test_wavenet_pipeline_with_eeg_transform(rng):
     """The main_2.py path: raw cache windows → _EEGTransformer chain →
     DilatedInceptionWaveNet training step (SURVEY.md §3.2)."""

@@ -100,6 +100,7 @@ def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
     assert np.abs(oof).sum() > 0             # fold-0 rows were written
 
 
+@pytest.mark.slow
 def test_cli_train_multimodal_realdata(hms_tree, tmp_path):
     rc = main(["train-multimodal", "--set", f"paths.data_root={hms_tree}",
                "--set", "n_folds=2", "--epochs", "1", "--batch-size", "4",

@@ -90,6 +90,7 @@ def test_multimodal_model(rng):
     assert eeg_only.shape == (2, 6)
 
 
+@pytest.mark.slow
 def test_gradients_finite(rng):
     """Gradient-finiteness through a representative model."""
     model = models.EEGNet(samples=384)

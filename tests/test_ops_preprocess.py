@@ -2,6 +2,7 @@
 replica of the reference pipelines (XAI_Multimodality.py:786-797 /
 dataset.py:73-103 / data_utils.py:129-249)."""
 
+import pytest
 import numpy as np
 import scipy.ndimage
 import scipy.signal as sps
@@ -120,6 +121,7 @@ def test_mirror_eeg_swaps_hemispheres(rng):
     np.testing.assert_array_equal(got[f2i["Fz"]], x[f2i["Fz"]])
 
 
+@pytest.mark.slow
 def test_assume_finite_fast_path_matches_reference_chain(rng):
     """With finite inputs, montage→single-cascade equals the reference
     order (NaN repair is identity; LTI filters commute with the linear

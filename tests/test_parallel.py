@@ -34,6 +34,7 @@ def _setup_state(rng, optimizer="adam"):
     return state, {"x": np.asarray(x), "y": np.asarray(y)}
 
 
+@pytest.mark.slow
 def test_parallel_step_matches_single_device(rng):
     """DP-sharded step == unsharded step (gradient psum correctness).
 
@@ -67,6 +68,7 @@ def test_parallel_step_matches_single_device(rng):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grouped_conv_grad_partitioner_bug_is_avoided(rng):
     """Regression: XLA GSPMD zeroes grouped-conv grads on multi-axis
     meshes; EEGNet's depthwise stage is einsum-reformulated and the DP
@@ -147,6 +149,7 @@ def test_halo_conv_matches_global(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_long_eeg_seq_parallel_matches_local(rng):
     mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
     enc = parallel.LongEEGEncoder(n_channels=4, patch=8, d_model=32,

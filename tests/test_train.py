@@ -90,6 +90,7 @@ def _tiny_setup(rng):
     return model, state, {"x": x, "y": y}
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(rng):
     _, state, batch = _tiny_setup(rng)
     step = train.make_train_step()

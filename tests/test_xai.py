@@ -29,6 +29,7 @@ def test_saliency_shapes_and_nonneg(small_cnn, rng):
     assert np.all(np.asarray(s) >= 0)
 
 
+@pytest.mark.slow
 def test_multimodal_saliency(rng):
     eeg_m = models.EEGNet(samples=128, kern_length=8)
     spec_m = models.SpectrogramCNN()
@@ -43,6 +44,7 @@ def test_multimodal_saliency(rng):
     assert ge.shape == xe.shape and gs.shape == xs.shape
 
 
+@pytest.mark.slow
 def test_integrated_gradients_completeness(small_cnn, rng):
     """IG completeness: sum(attr) ≈ f(x) − f(baseline)."""
     _, _, fwd = small_cnn
