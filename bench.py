@@ -33,6 +33,13 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: compiles over the axon tunnel cost
+# 20s-10min per program (EfficientNet-B0 is the worst); caching them on
+# disk makes repeat bench invocations start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 
 def _timed_reps(run_chain, state, iters: int, reps: int):
     """run_chain(state, iters) -> (state, elapsed_seconds); returns the
@@ -196,6 +203,65 @@ def bench_diffusion() -> None:
     }))
 
 
+def bench_train() -> None:
+    """Optional mode: end-to-end TRAINING throughput on the flagship
+    multimodal pair — raw windows → both fused preprocessing chains →
+    forward + KLDiv(+L2) + backward + Adam update, one jitted program.
+    The reference's equivalent inner loop is MainTrainer._train_epoch
+    (training_utils.py:635-682).  ``python bench.py --train``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from multimodal_brain_pattern_identification_xai_tpu import (models, ops,
+                                                                 runtime,
+                                                                 train)
+    from multimodal_brain_pattern_identification_xai_tpu.data import (
+        synthetic_raw_eeg, synthetic_raw_spectrogram)
+
+    B = int(os.environ.get("BENCH_BATCH", 256))
+    rng = np.random.default_rng(0)
+    raw_eeg = jnp.asarray(runtime.gather_windows(
+        synthetic_raw_eeg(B, rng), np.arange(B, dtype=np.int64)))
+    raw_spec = jnp.asarray(synthetic_raw_spectrogram(B, rng))
+    y = jnp.asarray(np.eye(6, dtype=np.float32)[rng.integers(0, 6, B)])
+
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(),
+        spectrogram_model=models.SpectrogramCNN())
+    xe = ops.hms_eeg_preprocess(raw_eeg[:2], assume_finite=True)
+    xs = ops.hms_spectrogram_preprocess(raw_spec[:2])
+    state = train.create_train_state(mm, (xe, xs), optax.adam(1e-3),
+                                     jax.random.PRNGKey(0))
+    inner = train.make_train_step(l2_lambda=1e-3)
+
+    @jax.jit
+    def step(st, re, rs, key):
+        batch = {"eeg": ops.hms_eeg_preprocess(re, assume_finite=True),
+                 "spec": ops.hms_spectrogram_preprocess(rs),
+                 "y": y}
+        st, metrics = inner(st, batch, key)
+        f = 1.0 + metrics["loss"] * 1e-6
+        return st, re * f, rs * f, metrics["loss"]
+
+    def run_chain(state_, iters):
+        st, re, rs = state_
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, re, rs, loss = step(st, re, rs, key)
+        _ = float(loss)
+        return (st, re, rs), time.perf_counter() - t0
+
+    s0, _ = run_chain((state, raw_eeg, raw_spec), 2)   # warmup / compile
+    per_iter = _timed_reps(run_chain, s0, iters=8, reps=5)
+    wps = B / per_iter
+    print(json.dumps({
+        "metric": "multimodal_train_windows_per_sec_per_chip",
+        "value": round(wps, 2), "unit": "windows/s",
+        "vs_baseline": None,
+    }))
+
+
 def bench_latency() -> None:
     """Optional mode (BASELINE config #1): single 50 s window latency —
     raw EEG window → STFT spectrogram → EfficientNet-B0 classify +
@@ -306,6 +372,8 @@ if __name__ == "__main__":
         bench_gradcam()
     elif "--multimodal-effnet" in sys.argv:
         bench_multimodal("effnet")
+    elif "--train" in sys.argv:
+        bench_train()
     elif "--multimodal" in sys.argv:
         bench_multimodal()
     elif "--diffusion" in sys.argv:

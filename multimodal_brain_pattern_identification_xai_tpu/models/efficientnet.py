@@ -4,7 +4,15 @@ reference's CFG mentions the efficientnet preset family, main_2.py:37-51).
 Standard B0 topology (MBConv with squeeze-excite, SiLU), NHWC, BatchNorm
 with torch-compatible eps/momentum.  No pretrained weights are bundled
 (zero-egress environment); the architecture trains from scratch or accepts
-converted weights.
+converted torchvision weights (``models.load_torch_efficientnet_state_dict``,
+logit-exact).
+
+TPU note (measured, PARITY.md): despite ~6.7× fewer FLOPs than the
+5-block SpectrogramCNN at the same input, B0 is SLOWER on v5e (4.4k vs
+6.7k fused multimodal windows/s) — depthwise convolutions do no MXU work
+and the many thin layers + SE reductions are memory/latency-bound.  Use
+SpectrogramCNN when throughput matters; B0 exists for reference parity
+(the CFG preset, main_2.py:37-51).
 """
 
 from __future__ import annotations
