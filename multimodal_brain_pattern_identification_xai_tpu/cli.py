@@ -21,6 +21,7 @@ needed) — the equivalent of the reference's DummyEEGDataset sanity path.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 from typing import List, Optional
@@ -220,35 +221,73 @@ def cmd_train_multimodal(args) -> int:
 
 
 def cmd_train_diffeeg(args) -> int:
-    """DiffEEG diffusion training (DiffEEG_train.py)."""
-    from . import config as C, models, train
+    """DiffEEG diffusion training (DiffEEG_train.py).
+
+    Non-demo: the reference trains the denoiser on the 19-channel
+    EEGDataset windows (dataset flags cfg_utils.py:97-106 — all scalp
+    channels, no magic-8, ::5 downsample to 2000 pts): metadata →
+    window cache → device transform → step loop with grad accumulation,
+    EMA, and periodic reverse-diffusion MMD evals.
+    """
+    from . import config as C, data, models, ops, train
 
     rng = np.random.default_rng(args.seed)
-    if not args.demo:
-        raise SystemExit("non-demo mode needs the HMS dataset; use --demo")
-    cfg = C.DiffEEGConfig(n_channels=4, input_length=256, hidden_channels=8,
-                          n_diffusion_steps=50, gradient_accumulate_every=2,
-                          batch_size=args.batch_size or 8,
-                          evaluate_every=10, save_and_sample_every=10,
-                          min_steps=args.epochs or 20,
-                          stft_n_fft=32, stft_noverlap=16)
-    model = models.DiffEEG(n_channels=4, hidden=8)
+    if args.demo:
+        cfg = C.DiffEEGConfig(n_channels=4, input_length=256,
+                              hidden_channels=8,
+                              n_diffusion_steps=50,
+                              gradient_accumulate_every=2,
+                              batch_size=args.batch_size or 8,
+                              evaluate_every=10, save_and_sample_every=10,
+                              min_steps=args.epochs or 20,
+                              stft_n_fft=32, stft_noverlap=16)
+
+        def batches():
+            while True:
+                x = rng.standard_normal(
+                    (cfg.batch_size, 4, 256)).astype(np.float32)
+                y = np.eye(6, dtype=np.float32)[
+                    rng.integers(0, 6, cfg.batch_size)]
+                yield x, y
+
+        val = [(rng.standard_normal((4, 4, 256)).astype(np.float32),
+                np.eye(6, dtype=np.float32)[rng.integers(0, 6, 4)])]
+        total = cfg.min_steps
+    else:
+        full = _load_cfg(args)
+        src = data.wavenet_arrays(full.paths, cache_dir=args.ckpt_dir,
+                                  n_workers=args.workers, limit=args.limit)
+        raw19 = src["x"][..., :len(C.EEG_FEATURES)]   # drop EKG column
+        tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=False, n_feats=19)
+        x = _device_transform_chunks(raw19,
+                                     lambda a: ops.eeg_transform(a, tcfg))
+        x = np.ascontiguousarray(x.transpose(0, 2, 1))  # (N, 19, 2000)
+        y = src["y"].astype(np.float32)
+        print(f"diffeeg training set: {x.shape} "
+              f"({x.nbytes / 1e9:.2f} GB transformed)")
+        cfg = full.diffeeg                       # --set diffeeg.k=v works
+        if args.batch_size:
+            cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+        n_val = max(cfg.batch_size, len(x) // 10)
+        perm = rng.permutation(len(x))
+        va, tr = perm[:n_val], perm[n_val:]
+
+        def batches():
+            while True:
+                i = rng.choice(tr, size=cfg.batch_size)
+                yield x[i], y[i]
+
+        val = [(x[va[s:s + cfg.batch_size]], y[va[s:s + cfg.batch_size]])
+               for s in range(0, min(len(va), 4 * cfg.batch_size),
+                              cfg.batch_size)]
+        total = args.epochs or cfg.min_steps
+
+    model = models.DiffEEG(n_channels=cfg.n_channels,
+                           hidden=cfg.hidden_channels)
     trainer = train.DiffEEGTrainer(model, cfg,
                                    ckpt_dir=f"{args.ckpt_dir}/diffeeg",
                                    seed=args.seed)
-
-    def batches():
-        while True:
-            x = rng.standard_normal(
-                (cfg.batch_size, 4, 256)).astype(np.float32)
-            y = np.eye(6, dtype=np.float32)[
-                rng.integers(0, 6, cfg.batch_size)]
-            yield x, y
-
-    val = [(rng.standard_normal((4, 4, 256)).astype(np.float32),
-            np.eye(6, dtype=np.float32)[rng.integers(0, 6, 4)])]
-    hist = trainer.train(batches, val_batches=val,
-                         total_steps=cfg.min_steps)
+    hist = trainer.train(batches, val_batches=val, total_steps=total)
     print(f"final loss: {hist['loss'][-1]:.4f}; evals: {len(hist['eval'])}")
     return 0
 

@@ -101,6 +101,22 @@ def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_diffeeg_realdata(hms_tree, tmp_path):
+    """Non-demo DiffEEG training composes: cache → 19-ch eeg_transform →
+    step loop with STFT conditioning and an MMD eval."""
+    rc = main(["train-diffeeg", "--set", f"paths.data_root={hms_tree}",
+               "--set", "diffeeg.gradient_accumulate_every=2",
+               "--set", "diffeeg.n_diffusion_steps=25",
+               "--set", "diffeeg.hidden_channels=8",
+               "--set", "diffeeg.evaluate_every=2",
+               "--set", "diffeeg.save_and_sample_every=2",
+               "--epochs", "2", "--batch-size", "2",
+               "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "diffeeg").exists()
+
+
+@pytest.mark.slow
 def test_cli_train_multimodal_realdata(hms_tree, tmp_path):
     rc = main(["train-multimodal", "--set", f"paths.data_root={hms_tree}",
                "--set", "n_folds=2", "--epochs", "1", "--batch-size", "4",
