@@ -178,13 +178,14 @@ def bench_diffusion() -> None:
     cfg = C.DiffEEGConfig()
     model = models.DiffEEG(n_channels=cfg.n_channels,
                            hidden=cfg.hidden_channels)
-    B, T = 64, cfg.input_length
+    B, T = int(os.environ.get("BENCH_BATCH", 256)), cfg.input_length
     x0 = jnp.zeros((B, cfg.n_channels, T))
     y = jax.nn.one_hot(jnp.arange(B) % 6, 6)
     spec = jnp.zeros((B, cfg.n_channels, 50, 50))
     v = model.init(jax.random.PRNGKey(0), x0, y, jnp.zeros((B,)), spec)
     sched = diffusion.make_schedule(cfg.n_diffusion_steps)
-    den = lambda x, yy, t, s: model.apply(v, x, yy, t, s)
+    # (y, spec) conditioning hoisted out of the 1000-step scan
+    den = models.make_cached_denoiser(model, v, y, spec, T)
     gen = jax.jit(lambda key: diffusion.reverse_diffusion(
         sched, den, key, B, y, spec, (cfg.n_channels, T)))
 

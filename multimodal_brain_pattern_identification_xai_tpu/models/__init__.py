@@ -6,7 +6,8 @@ from typing import Any, Callable, Dict
 
 from .deepconvnet import DeepConvNet  # noqa: F401
 from .diffeeg import (DiffEEG, DiffEEGSanityCheck, GTU,  # noqa: F401
-                      recombine_spectrograms, sinusoidal_embedding)
+                      make_cached_denoiser, recombine_spectrograms,
+                      sinusoidal_embedding)
 from .eegnet import (EEGNet, EEGNetAttentionDeep,  # noqa: F401
                      EEGNetAttentionRegularized, EEGNetResidual,
                      EEGNetResidualLSTM, EEGNetTransformer,

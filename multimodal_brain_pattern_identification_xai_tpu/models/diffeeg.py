@@ -77,65 +77,114 @@ class DiffEEG(nn.Module):
     hidden: int = 32
     dropout: float = 0.1
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray,
-                 spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        B, _, T = x.shape
+    def setup(self):
         H = self.hidden
+        self.step_mlp_0 = nn.Dense(H, name="step_mlp_0")
+        self.step_mlp_2 = nn.Dense(H, name="step_mlp_2")
+        self.step_mlp_4 = nn.Dense(H, name="step_mlp_4")
+        self.class_embedding = nn.Embed(self.n_classes, H,
+                                        name="class_embedding")
+        self.spectrogram_upsample1 = nn.ConvTranspose(
+            H // 2, (3, 3), strides=(1, 8), padding=((1, 1), (2, 2)),
+            name="spectrogram_upsample1")
+        self.channel_expand = nn.Conv(H, (1,), name="channel_expand")
+        self.spectrogram_project = nn.Conv(H, (1,), name="spectrogram_project")
+        self.gtu = GTU(name="gtu")
+        self.input_conv = nn.Conv(H, (1,), name="input_conv")
+        self.res_block1 = ResidualBlock(H, 1, self.dropout, name="res_block1")
+        self.res_block2 = ResidualBlock(H, 2, self.dropout, name="res_block2")
+        self.res_block3 = ResidualBlock(H, 4, self.dropout, name="res_block3")
+        self.res_block4 = ResidualBlock(H, 8, self.dropout, name="res_block4")
+        self.skip_sum = nn.Conv(H, (1,), name="skip_sum")
+        self.layer_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                                       name="layer_norm")
+        self.final_0 = nn.Conv(H, (1,), name="final_0")
+        self.final_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                                       name="final_norm")
+        self.final_out = nn.Conv(self.n_channels, (1,), name="final_out")
 
-        # === Step embedding ===  (diffEEG.py:35-41, 100-102)
-        se = sinusoidal_embedding(t.astype(jnp.float32), H)
-        se = nn.Dense(H, name="step_mlp_0")(se)
-        se = nn.sigmoid(se)
-        se = nn.Dense(H, name="step_mlp_2")(se)
-        se = nn.relu(se)
-        se = nn.Dense(H, name="step_mlp_4")(se)
-        step_emb = se[:, None, :]                        # (B, 1, H)
+    def conditioning(self, y: jnp.ndarray, spec: jnp.ndarray,
+                     T: int) -> jnp.ndarray:
+        """Class + spectrogram conditioning, (B, T, H).
 
+        Depends only on (y, spec) — constant across all diffusion steps of
+        one generation, so the sampler precomputes it ONCE and reuses it
+        for the 1000-step reverse scan (the reference recomputes the whole
+        branch in every one of the 1000 forwards, hot loop #4)."""
         # === Class embedding ===  (diffEEG.py:44, 104-106)
         labels = jnp.argmax(y, axis=-1)
-        class_emb = nn.Embed(self.n_classes, H, name="class_embedding")(labels)
-        class_emb = class_emb[:, None, :]                # (B, 1, H)
+        class_emb = self.class_embedding(labels)[:, None, :]   # (B, 1, H)
 
         # === Spectrogram branch ===  (diffEEG.py:47-57, 108-117)
         # (B, C, F, Ts) → NHWC (B, F, Ts, C)
         s = jnp.transpose(spec, (0, 2, 3, 1))
-        s = nn.ConvTranspose(H // 2, (3, 3), strides=(1, 8),
-                             padding=((1, 1), (2, 2)),
-                             name="spectrogram_upsample1")(s)
-        s = nn.relu(s)                                   # (B, F, Ts', H/2)
+        s = nn.relu(self.spectrogram_upsample1(s))       # (B, F, Ts', H/2)
         b, f, ts, c = s.shape
         # torch .flatten(start_dim=2) flattens (F, Ts') channel-major;
         # equivalent sequence axis here with channel-last layout:
         s = s.reshape(b, f * ts, c)                      # (B, L, H/2)
         # F.interpolate(mode='linear', align_corners=False) onto T points.
         s = jax.image.resize(s, (b, T, c), method="linear")
-        s = nn.Conv(H, (1,), name="channel_expand")(s)
-        s = nn.Conv(H, (1,), name="spectrogram_project")(s)
-        s = GTU(name="gtu")(s)                           # (B, T, H)
+        s = self.channel_expand(s)
+        s = self.spectrogram_project(s)
+        s = self.gtu(s)                                  # (B, T, H)
+        return s + class_emb
+
+    def denoise(self, x: jnp.ndarray, cond: jnp.ndarray, t: jnp.ndarray,
+                train: bool = False) -> jnp.ndarray:
+        """ε̂ from a precomputed conditioning tensor — the per-step work."""
+        H = self.hidden
+        # === Step embedding ===  (diffEEG.py:35-41, 100-102)
+        se = sinusoidal_embedding(t.astype(jnp.float32), H)
+        se = self.step_mlp_0(se)
+        se = nn.sigmoid(se)
+        se = self.step_mlp_2(se)
+        se = nn.relu(se)
+        se = self.step_mlp_4(se)
+        step_emb = se[:, None, :]                        # (B, 1, H)
 
         # === Input projection ===  (diffEEG.py:60, 120)
         xt = jnp.swapaxes(x, -1, -2)                     # (B, T, C)
-        eeg_proj = nn.Conv(H, (1,), name="input_conv")(xt)
+        eeg_proj = self.input_conv(xt)
 
         # === Combine ===  (diffEEG.py:122-123)
-        h = eeg_proj + step_emb + class_emb + s
+        h = eeg_proj + step_emb + cond
 
         # === Residual stack ===  (diffEEG.py:62-67, 125-129)
-        h1 = ResidualBlock(H, 1, self.dropout, name="res_block1")(h, train)
-        h2 = ResidualBlock(H, 2, self.dropout, name="res_block2")(h1, train)
-        h3 = ResidualBlock(H, 4, self.dropout, name="res_block3")(h2, train)
-        h4 = ResidualBlock(H, 8, self.dropout, name="res_block4")(h3, train)
+        h1 = self.res_block1(h, train)
+        h2 = self.res_block2(h1, train)
+        h3 = self.res_block3(h2, train)
+        h4 = self.res_block4(h3, train)
 
-        h = nn.Conv(H, (1,), name="skip_sum")(h1 + h2 + h3 + h4)
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="layer_norm")(h)
+        h = self.skip_sum(h1 + h2 + h3 + h4)
+        h = self.layer_norm(h)
 
         # === Final projection ===  (diffEEG.py:70-76, 134)
-        h = nn.Conv(H, (1,), name="final_0")(h)
+        h = self.final_0(h)
         h = nn.relu(h)
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="final_norm")(h)
-        h = nn.Conv(self.n_channels, (1,), name="final_out")(h)
+        h = self.final_norm(h)
+        h = self.final_out(h)
         return jnp.swapaxes(h, -1, -2)                   # (B, C, T)
+
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray,
+                 spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        T = x.shape[-1]
+        return self.denoise(x, self.conditioning(y, spec, T), t, train)
+
+
+def make_cached_denoiser(model: DiffEEG, variables, y: jnp.ndarray,
+                         spec: jnp.ndarray, length: int):
+    """Denoiser for the reverse-diffusion scan with the (y, spec)
+    conditioning precomputed ONCE — drop-in for the samplers'
+    ``denoise_fn(x, y, t, spec)`` contract (the y/spec arguments at call
+    time are ignored; they are already baked into the cached tensor)."""
+    cond = model.apply(variables, y, spec, length,
+                       method=DiffEEG.conditioning)
+
+    def denoise_fn(x, _y, t, _spec):
+        return model.apply(variables, x, cond, t, method=DiffEEG.denoise)
+
+    return denoise_fn
 
 
 def recombine_spectrograms(key: jax.Array, spectrograms: jnp.ndarray,

@@ -31,7 +31,8 @@ from .. import config as C
 from ..diffusion import (EMA, compute_frechet_distance, compute_mmd,
                          ema_update, make_schedule, pearson_correlation,
                          reverse_diffusion)
-from ..models.diffeeg import DiffEEG, recombine_spectrograms
+from ..models.diffeeg import (DiffEEG, make_cached_denoiser,
+                              recombine_spectrograms)
 from ..ops import stft_log1p_interp
 from .checkpoint import CheckpointManager
 from .state import TrainState
@@ -167,8 +168,6 @@ class DiffEEGTrainer:
         n = max(1, int(len(val_batches) * frac))
         mmds, freches, pears = [], [], []
         params = self.ema.params
-        denoise = lambda x, y, t, s: self.model.apply(
-            {"params": params}, x, y, t, s, False)
         for x0, y in val_batches[:n]:
             x0 = jnp.asarray(x0)
             y = jnp.asarray(y)
@@ -176,6 +175,9 @@ class DiffEEGTrainer:
                                      nperseg=cfg.stft_n_fft,
                                      noverlap=cfg.stft_noverlap)
             self.rng, key = jax.random.split(self.rng)
+            # conditioning precomputed once, not once per diffusion step
+            denoise = make_cached_denoiser(self.model, {"params": params},
+                                           y, spec, x0.shape[-1])
             gen = reverse_diffusion(self.schedule, denoise, key,
                                     x0.shape[0], y, spec,
                                     (cfg.n_channels, x0.shape[-1]))
