@@ -317,25 +317,61 @@ def cmd_generate(args) -> int:
 
 
 def cmd_xai(args) -> int:
-    """Attribution report on a (demo) multimodal model."""
+    """Attribution report on a multimodal model (the reference's XAI phase,
+    XAI_Multimodality.py §3.4: load the trained combined checkpoint, then
+    SHAP over the EEG branch, LIME over the spectrogram branch, saliency
+    over both, Grad-CAM).
+
+    ``--demo``: synthetic data + a fresh model at reduced sizes.
+    Non-demo: real HMS rows (``paths.data_root``) at reference sizes; if a
+    ``train-multimodal`` checkpoint exists under ``--ckpt-dir``, its best
+    params are restored (otherwise a fresh init is used, with a warning).
+    """
     import jax
     import jax.numpy as jnp
-    from . import config as C, data, models, ops, utils, xai
+    from . import config as C, data, models, ops, train, utils, xai
 
     rng = np.random.default_rng(args.seed)
-    raw_eeg = data.synthetic_raw_eeg(8, rng, n_points=2000)
-    raw_spec = data.synthetic_raw_spectrogram(8, rng, shape=(80, 60))
-    sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
-    eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec, signal=sig)
-
-    mm = models.MultimodalModel(
-        eeg_model=models.EEGNetAttentionRegularized(samples=600,
-                                                    kern_length=16),
-        spectrogram_model=models.SpectrogramCNN())
-    variables = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2],
-                        spec_in[:2])
-    variables = {"params": variables["params"],
-                 "batch_stats": variables["batch_stats"]}
+    if args.demo:
+        raw_eeg = data.synthetic_raw_eeg(8, rng, n_points=2000)
+        raw_spec = data.synthetic_raw_spectrogram(8, rng, shape=(80, 60))
+        sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
+        eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec,
+                                                    signal=sig)
+        mm = models.MultimodalModel(
+            eeg_model=models.EEGNetAttentionRegularized(samples=600,
+                                                        kern_length=16),
+            spectrogram_model=models.SpectrogramCNN())
+        variables = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2],
+                            spec_in[:2])
+        variables = {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+    else:
+        cfg = _load_cfg(args)
+        src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
+                                     n_workers=args.workers)
+        n = min(args.limit or 32, len(src))
+        batch = src.gather(np.arange(n))
+        eeg_in, spec_in = ops.preprocess_multimodal(
+            jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+        mm = models.MultimodalModel(
+            eeg_model=models.EEGNetAttentionRegularized(),
+            spectrogram_model=models.SpectrogramCNN())
+        v0 = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2], spec_in[:2])
+        import optax
+        state = train.TrainState.create(
+            apply_fn=mm.apply, params=v0["params"], tx=optax.adam(1e-3),
+            batch_stats=v0.get("batch_stats"))
+        ckpt = train.CheckpointManager(f"{args.ckpt_dir}/multimodal")
+        try:
+            state = ckpt.load_best(state)
+            print("restored best multimodal checkpoint")
+        except Exception as e:                        # noqa: BLE001
+            print(f"no checkpoint restored ({type(e).__name__}); "
+                  "using fresh init — train with `train-multimodal` first "
+                  "for meaningful attributions")
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
     fwd = lambda e, s: mm.apply(variables, e, s)
 
     ge, gs = xai.multimodal_saliency(fwd, eeg_in, spec_in)
@@ -360,12 +396,12 @@ def cmd_xai(args) -> int:
     print(f"LIME top label {res['label']}; "
           f"{int(res['mask'].sum())} px in top segments")
 
-    spec_model = models.SpectrogramCNN()
-    sv = spec_model.init(jax.random.PRNGKey(0), spec_in[:2])
-    cam = xai.grad_cam(spec_model,
-                       {"params": sv["params"],
-                        "batch_stats": sv["batch_stats"]},
-                       spec_in[:2], upsample_to=(80, 60))
+    # Grad-CAM on the (trained) spectrogram branch itself
+    spec_model = mm.spectrogram_model
+    spec_vars = {"params": variables["params"]["spectrogram_model"],
+                 "batch_stats": variables["batch_stats"]["spectrogram_model"]}
+    cam = xai.grad_cam(spec_model, spec_vars, spec_in[:2],
+                       upsample_to=tuple(spec_in.shape[-2:]))
     utils.plot_saliency_heatmap(np.asarray(cam[0]), args.ckpt_dir,
                                 "spec_gradcam")
     print(f"Grad-CAM heatmap {tuple(cam.shape)} saved")

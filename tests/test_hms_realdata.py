@@ -101,6 +101,20 @@ def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_xai_realdata(hms_tree, tmp_path):
+    """Non-demo XAI report composes: multimodal source → full-size
+    preprocess → (checkpoint restore attempt) → saliency/SHAP/LIME/
+    Grad-CAM artifacts at reference sizes."""
+    rc = main(["xai", "--set", f"paths.data_root={hms_tree}",
+               "--limit", "4", "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    import os
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert any("eeg_saliency" in f for f in pngs)
+    assert any("spec_gradcam" in f for f in pngs)
+
+
+@pytest.mark.slow
 def test_cli_train_diffeeg_realdata(hms_tree, tmp_path):
     """Non-demo DiffEEG training composes: cache → 19-ch eeg_transform →
     step loop with STFT conditioning and an MMD eval."""
