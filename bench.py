@@ -263,6 +263,54 @@ def bench_train() -> None:
     }))
 
 
+def bench_longeeg() -> None:
+    """Optional mode (BASELINE config #4): transformer encoder over
+    LONG multi-hour EEG with attention-rollout attribution.  One chip
+    processes 1-hour 20-channel 200 Hz windows (720k samples → 3600
+    patch-tokens); the same encoder scales past single-chip HBM via the
+    sequence-parallel shard_map path (parallel.long_eeg_rollout, tested
+    on the virtual 8-device mesh).  ``python bench.py --longeeg``."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import parallel
+    from multimodal_brain_pattern_identification_xai_tpu.xai.rollout import (
+        attention_rollout)
+
+    HOURS = 1.0
+    T = int(HOURS * 3600 * 200)                       # 720,000 samples
+    enc = parallel.LongEEGEncoder(n_channels=20, patch=200, d_model=128,
+                                  depth=4, n_heads=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 20, T)), jnp.float32)
+
+    @jax.jit
+    def step(xx):
+        logits, attn = enc.local_forward(params, xx, axis_name=None,
+                                         return_attn=True)
+        roll = attention_rollout(list(attn))
+        f = 1.0 + jnp.mean(logits) * 1e-4
+        return xx * f, logits, roll
+
+    xx, logits, roll = step(x)
+    _ = float(jnp.sum(roll))
+
+    def run_chain(state, iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, logits, roll = step(state)
+        _ = float(jnp.sum(roll))
+        return state, time.perf_counter() - t0
+
+    per_iter = _timed_reps(run_chain, xx, iters=4, reps=3)
+    print(json.dumps({
+        "metric": "longeeg_rollout_hours_per_sec_per_chip",
+        "value": round(HOURS / per_iter, 3), "unit": "EEG-hours/s",
+        "vs_baseline": None,
+        "tokens": T // 200,
+    }))
+
+
 def bench_latency() -> None:
     """Optional mode (BASELINE config #1): single 50 s window latency —
     raw EEG window → STFT spectrogram → EfficientNet-B0 classify +
@@ -375,6 +423,8 @@ if __name__ == "__main__":
         bench_multimodal("effnet")
     elif "--train" in sys.argv:
         bench_train()
+    elif "--longeeg" in sys.argv:
+        bench_longeeg()
     elif "--multimodal" in sys.argv:
         bench_multimodal()
     elif "--diffusion" in sys.argv:

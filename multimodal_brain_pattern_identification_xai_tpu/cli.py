@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import itertools
 import os
 import sys
 from typing import List, Optional
@@ -86,23 +87,26 @@ def cmd_train_wavenet(args) -> int:
     else:
         src = data.wavenet_arrays(cfg.paths, cache_dir=args.ckpt_dir,
                                   n_workers=args.workers, limit=args.limit)
-        raw = src["x"]                       # (N, 10000, 20) µV windows
+        raw = src.pop("x")                   # (N, 10000, 20) µV windows
         groups, y = src["groups"], src["y"]
         print(f"loaded {len(raw)} eeg windows "
               f"({raw.nbytes / 1e9:.2f} GB raw)")
 
     tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=True, n_feats=8)
     x = _device_transform_chunks(raw, lambda a: ops.eeg_transform(a, tcfg))
-    del raw
+    del raw                                  # ~13.6 GB at full-dataset scale
     splits = train.group_kfold(groups, n_splits=cfg.n_folds)
 
     bs = args.batch_size or 16
     epochs = args.epochs or 3
 
     def make_loaders(tr, va):
+        epoch = itertools.count()            # fresh permutation per epoch
+
         def tl():
             return data.batch_iterator({"x": x[tr], "y": y[tr]}, bs,
-                                       shuffle=True, seed=args.seed)
+                                       shuffle=True,
+                                       seed=args.seed + next(epoch))
         def vl():
             return data.batch_iterator({"x": x[va], "y": y[va]}, bs,
                                        drop_last=False)
@@ -151,10 +155,13 @@ def cmd_train_multimodal(args) -> int:
         eeg_model = models.EEGNetAttentionRegularized(samples=600,
                                                       kern_length=16)
 
+        epoch = itertools.count()            # fresh permutation per epoch
+
         def raw_batches(idx, bs, shuffle):
             return data.batch_iterator(
                 {"eeg": raw_eeg[idx], "spec": raw_spec[idx], "y": y[idx]},
-                bs, shuffle=shuffle, seed=args.seed)
+                bs, shuffle=shuffle,
+                seed=args.seed + (next(epoch) if shuffle else 0))
     else:
         src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
                                      n_workers=args.workers,
@@ -168,8 +175,12 @@ def cmd_train_multimodal(args) -> int:
         eeg_model = models.EEGNetAttentionRegularized()
         print(f"fold 0: {len(tr_idx)} train / {len(va_idx)} val rows")
 
+        epoch = itertools.count()            # fresh permutation per epoch
+
         def raw_batches(idx, bs, shuffle):
-            return src.batches(idx, bs, shuffle=shuffle, seed=args.seed,
+            return src.batches(idx, bs, shuffle=shuffle,
+                               seed=args.seed + (next(epoch) if shuffle
+                                                 else 0),
                                drop_last=shuffle)
 
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
@@ -178,9 +189,16 @@ def cmd_train_multimodal(args) -> int:
     aug_key = jax.random.PRNGKey(args.seed + 1)
     counter = itertools.count()
 
+    mirror = jax.jit(ops.mirror_eeg)
+
     def train_iter():
         for batch in raw_batches(tr_idx, bs, True):
-            e, s = pp(jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+            eeg_raw = jnp.asarray(batch["eeg"])
+            if cfg.augment:
+                # CFG.AUGMENT parity: left/right hemisphere mirror applied
+                # to train samples before filtering (XAI_Mm.py:805-806)
+                eeg_raw = mirror(eeg_raw)
+            e, s = pp(eeg_raw, jnp.asarray(batch["spec"]))
             yb = jnp.asarray(batch["y"])
             # in-batch reference pool for MixUp (the reference sweeps the
             # train loader once to build it; same distribution)
@@ -257,10 +275,11 @@ def cmd_train_diffeeg(args) -> int:
         full = _load_cfg(args)
         src = data.wavenet_arrays(full.paths, cache_dir=args.ckpt_dir,
                                   n_workers=args.workers, limit=args.limit)
-        raw19 = src["x"][..., :len(C.EEG_FEATURES)]   # drop EKG column
+        raw19 = src.pop("x")[..., :len(C.EEG_FEATURES)]   # drop EKG column
         tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=False, n_feats=19)
         x = _device_transform_chunks(raw19,
                                      lambda a: ops.eeg_transform(a, tcfg))
+        del raw19
         x = np.ascontiguousarray(x.transpose(0, 2, 1))  # (N, 19, 2000)
         y = src["y"].astype(np.float32)
         print(f"diffeeg training set: {x.shape} "
@@ -268,7 +287,8 @@ def cmd_train_diffeeg(args) -> int:
         cfg = full.diffeeg                       # --set diffeeg.k=v works
         if args.batch_size:
             cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
-        n_val = max(cfg.batch_size, len(x) // 10)
+        # keep the training split non-empty even on tiny --limit runs
+        n_val = max(1, min(len(x) // 10, len(x) - 1))
         perm = rng.permutation(len(x))
         va, tr = perm[:n_val], perm[n_val:]
 
@@ -358,9 +378,11 @@ def cmd_xai(args) -> int:
             eeg_model=models.EEGNetAttentionRegularized(),
             spectrogram_model=models.SpectrogramCNN())
         v0 = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2], spec_in[:2])
-        import optax
+        # the restore target's opt_state pytree must match what
+        # train-multimodal saved — same optimizer factory, not a bare adam
         state = train.TrainState.create(
-            apply_fn=mm.apply, params=v0["params"], tx=optax.adam(1e-3),
+            apply_fn=mm.apply, params=v0["params"],
+            tx=train.state.make_optimizer(cfg.trainer.lr),
             batch_stats=v0.get("batch_stats"))
         ckpt = train.CheckpointManager(f"{args.ckpt_dir}/multimodal")
         try:

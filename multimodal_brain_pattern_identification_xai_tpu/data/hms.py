@@ -72,13 +72,19 @@ def build_or_load_eeg_cache(cache_path: str, eeg_dir: str,
     (main.py:84-98)."""
     if os.path.exists(cache_path):
         cache = EEGRecordCache.load(cache_path)
-        if all(e in cache for e in eeg_ids):
+        missing = [e for e in eeg_ids if e not in cache]
+        if not missing:
             logger.info("eeg cache hit: %s (%d records)", cache_path,
                         len(cache))
             return cache
-        logger.info("eeg cache stale (missing ids), rebuilding")
-    cache = EEGRecordCache(cache_path)
-    cache.build(eeg_dir, eeg_ids, n_points=n_points, n_workers=n_workers)
+        # incremental: fetch only the missing ids and merge (a --limit run
+        # followed by a full run must not re-decode the cached windows)
+        logger.info("eeg cache partial hit (%d missing), extending",
+                    len(missing))
+        cache.build(eeg_dir, missing, n_points=n_points, n_workers=n_workers)
+    else:
+        cache = EEGRecordCache(cache_path)
+        cache.build(eeg_dir, eeg_ids, n_points=n_points, n_workers=n_workers)
     cache.save()
     logger.info("built eeg cache: %d records → %s", len(cache), cache_path)
     return cache

@@ -126,7 +126,8 @@ class EEGRecordCache:
         else:
             for eeg_id in ids:
                 self._store[eeg_id] = one(eeg_id)[1]
-        assert len(self._store) == len(set(ids))
+        missing = set(ids) - set(self._store)
+        assert not missing, f"cache build missed {len(missing)} ids"
         return self
 
     def save(self) -> None:

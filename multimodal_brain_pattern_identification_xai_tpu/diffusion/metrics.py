@@ -11,6 +11,7 @@ host round trip).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _flatten(x: jnp.ndarray) -> jnp.ndarray:
@@ -40,13 +41,32 @@ def _sqrtm_psd(m: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 
 def compute_frechet_distance(real: jnp.ndarray, generated: jnp.ndarray,
                              eps: float = 1e-6) -> jnp.ndarray:
-    """Fréchet distance between Gaussian fits (DiffEEG_utils.py:224-243)."""
+    """Fréchet distance between Gaussian fits (DiffEEG_utils.py:224-243).
+
+    For wide features (D ≫ n samples — e.g. flattened (19, 2000) EEG,
+    D = 38,000) the covariances are rank ≤ n, and forming the D×D
+    matrices (5.8 GB) plus their eigh (O(D³)) is intractable.  The
+    sample-space identity makes it exact and cheap instead: with centered
+    A (n, D), B (m, D) scaled by 1/√(n−1), the nonzero eigenvalues of
+    ``cx·cy = AᵀA·BᵀB`` equal those of ``(ABᵀ)(ABᵀ)ᵀ`` (n×m), so
+    ``tr√(cx·cy)`` is the nuclear norm of ``ABᵀ`` (without the eps ridge,
+    which only exists for numerical stability of the dense path)."""
     x = _flatten(real)
     y = _flatten(generated)
+    n, d = x.shape
+    m = y.shape[0]
     mu_x, mu_y = x.mean(0), y.mean(0)
-    cx = jnp.cov(x, rowvar=False) + eps * jnp.eye(x.shape[1])
-    cy = jnp.cov(y, rowvar=False) + eps * jnp.eye(y.shape[1])
     mean_diff = jnp.sum((mu_x - mu_y) ** 2)
+    if d > 512 and d > 4 * (n + m):
+        a = (x - mu_x) / np.sqrt(max(n - 1, 1))
+        b = (y - mu_y) / np.sqrt(max(m - 1, 1))
+        tr_x = jnp.sum(a * a)
+        tr_y = jnp.sum(b * b)
+        cross = a @ b.T                              # (n, m)
+        nuc = jnp.sum(jnp.linalg.svd(cross, compute_uv=False))
+        return mean_diff + tr_x + tr_y - 2.0 * nuc
+    cx = jnp.cov(x, rowvar=False) + eps * jnp.eye(d)
+    cy = jnp.cov(y, rowvar=False) + eps * jnp.eye(d)
     sx = _sqrtm_psd(cx)
     cov_sqrt = _sqrtm_psd(sx @ cy @ sx)
     return mean_diff + jnp.trace(cx + cy) - 2.0 * jnp.trace(cov_sqrt)

@@ -25,6 +25,24 @@ import numpy as np
 from .. import config as C
 
 
+def linear_interpolate_time(s: jnp.ndarray, T: int) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='linear', align_corners=False)`` on the
+    middle axis of (B, L, C): plain 2-tap lerp at the half-pixel grid.
+
+    NOT ``jax.image.resize`` — that applies an anti-aliasing kernel when
+    downsampling whose support grows with the ratio; at the reference's
+    conditioning shape (L = F·8·T_s = 528,000 → T = 2,000) resize
+    materializes a ~4 GB dense weight matrix, where torch (and this)
+    touch 2 samples per output point.
+    """
+    L = s.shape[1]
+    pos = jnp.clip((jnp.arange(T) + 0.5) * (L / T) - 0.5, 0.0, L - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, L - 1)
+    w = (pos - lo)[None, :, None].astype(s.dtype)
+    return s[:, lo, :] * (1.0 - w) + s[:, hi, :] * w
+
+
 def sinusoidal_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     """(B,) or (B,1) diffusion steps → (B, dim) sin/cos embedding
     (diffEEG.py:90-94)."""
@@ -124,7 +142,7 @@ class DiffEEG(nn.Module):
         # equivalent sequence axis here with channel-last layout:
         s = s.reshape(b, f * ts, c)                      # (B, L, H/2)
         # F.interpolate(mode='linear', align_corners=False) onto T points.
-        s = jax.image.resize(s, (b, T, c), method="linear")
+        s = linear_interpolate_time(s, T)
         s = self.channel_expand(s)
         s = self.spectrogram_project(s)
         s = self.gtu(s)                                  # (B, T, H)

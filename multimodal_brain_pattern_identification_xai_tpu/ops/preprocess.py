@@ -103,7 +103,12 @@ def hms_eeg_preprocess(x: jnp.ndarray,
     if assume_finite:
         x = montage.bipolar_differential(x)                 # (..., 38, T)
         casc = iir.cascade(bp1, bp2)
-        if iir._on_tpu() and cfg.decimate_stride == 4:
+        # The baked rolling-mean operator is exact only when every emitted
+        # output window lies inside the real signal, i.e. T % 4 == 0
+        # (otherwise the reference's circular-roll tail semantics differ);
+        # other shapes take the explicit post-pass path below.
+        if (iir._on_tpu() and cfg.decimate_stride == 4
+                and x.shape[-1] % 4 == 0):
             # whole cascade as block-Toeplitz MXU matmuls with the
             # rolling-mean-4 + ::4 decimation baked into the output
             # operators (block-local since 128 % 4 == 0) — one matmul

@@ -137,3 +137,53 @@ def test_generate_for_class_and_balance(rng):
     xa, ya = diffusion.augment_dataset_balanced(x, y, gen)
     hard = ya.argmax(1)
     assert (hard == 0).sum() == 7 and (hard == 1).sum() == 7
+
+
+def test_linear_interpolate_time_matches_torch(rng):
+    """The conditioning interpolation is torch F.interpolate('linear',
+    align_corners=False) — 2-tap lerp, NOT jax.image.resize's antialiased
+    kernel (which materializes a dense (L, T) operator at the reference's
+    528k → 2k conditioning shape)."""
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu.models.diffeeg import (
+        linear_interpolate_time)
+    torch = __import__("torch")
+    for L, T in ((37, 160), (5000, 128), (128, 128)):
+        s = rng.standard_normal((2, L, 3)).astype(np.float32)
+        got = np.asarray(linear_interpolate_time(jnp.asarray(s), T))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(s).permute(0, 2, 1), size=T, mode="linear",
+            align_corners=False).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_frechet_lowrank_matches_dense(rng):
+    """The sample-space (nuclear-norm) Fréchet path equals the dense
+    covariance path up to the dense path's eps ridge."""
+    x = rng.standard_normal((6, 600)).astype(np.float32)
+    y = (rng.standard_normal((6, 600)) * 1.3 + 0.2).astype(np.float32)
+    lowrank = float(diffusion.compute_frechet_distance(x, y))
+    # force the dense branch by reshaping into a narrow feature dim? no —
+    # call the internals via a copy with the threshold unmet:
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu.diffusion import (
+        metrics)
+    cx = jnp.cov(jnp.asarray(x), rowvar=False) + 1e-6 * jnp.eye(600)
+    cy = jnp.cov(jnp.asarray(y), rowvar=False) + 1e-6 * jnp.eye(600)
+    mean_diff = float(jnp.sum((x.mean(0) - y.mean(0)) ** 2))
+    sx = metrics._sqrtm_psd(cx)
+    dense = mean_diff + float(
+        jnp.trace(cx + cy) - 2.0 * jnp.trace(metrics._sqrtm_psd(sx @ cy @ sx)))
+    assert abs(lowrank - dense) / max(abs(dense), 1e-6) < 5e-2
+
+
+def test_frechet_wide_features_fast(rng):
+    """Fréchet at the real DiffEEG eval shape (B small, D = 19*2000) must
+    complete quickly — this used to build a 38k x 38k covariance."""
+    import time
+    x = rng.standard_normal((2, 19, 2000)).astype(np.float32)
+    y = rng.standard_normal((2, 19, 2000)).astype(np.float32)
+    t0 = time.time()
+    v = float(diffusion.compute_frechet_distance(x, y))
+    assert np.isfinite(v)
+    assert time.time() - t0 < 60

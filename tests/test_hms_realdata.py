@@ -101,13 +101,20 @@ def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_xai_realdata(hms_tree, tmp_path):
+def test_cli_xai_realdata(hms_tree, tmp_path, capsys):
     """Non-demo XAI report composes: multimodal source → full-size
-    preprocess → (checkpoint restore attempt) → saliency/SHAP/LIME/
-    Grad-CAM artifacts at reference sizes."""
+    preprocess → trained-checkpoint restore → saliency/SHAP/LIME/
+    Grad-CAM artifacts at reference sizes.  Trains one epoch first so the
+    restore path (same optimizer pytree as training) is actually hit."""
+    rc = main(["train-multimodal", "--set", f"paths.data_root={hms_tree}",
+               "--set", "n_folds=2", "--epochs", "1", "--batch-size", "4",
+               "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
     rc = main(["xai", "--set", f"paths.data_root={hms_tree}",
                "--limit", "4", "--ckpt-dir", str(tmp_path)])
     assert rc == 0
+    out = capsys.readouterr().out
+    assert "restored best multimodal checkpoint" in out
     import os
     pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
     assert any("eeg_saliency" in f for f in pngs)
