@@ -226,9 +226,17 @@ def bench_train() -> None:
     raw_spec = jnp.asarray(synthetic_raw_spectrogram(B, rng))
     y = jnp.asarray(np.eye(6, dtype=np.float32)[rng.integers(0, 6, B)])
 
+    # bf16 activations on the spectrogram branch (default) — the TPU
+    # analogue of the reference's AMP autocast training, which is ITS
+    # default too (CFG.trainer use_amp, training_utils.py:635-682);
+    # params, BN stats, loss, and optimizer state stay f32 (pinned by
+    # tests/test_train.py::test_train_step_bf16_activations_learns).
+    # BENCH_BF16=0 for the all-f32 measurement.
+    bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     mm = models.MultimodalModel(
         eeg_model=models.EEGNetAttentionRegularized(),
-        spectrogram_model=models.SpectrogramCNN())
+        spectrogram_model=models.SpectrogramCNN(
+            dtype=jnp.bfloat16 if bf16 else None))
     xe = ops.hms_eeg_preprocess(raw_eeg[:2], assume_finite=True)
     xs = ops.hms_spectrogram_preprocess(raw_spec[:2])
     state = train.create_train_state(mm, (xe, xs), optax.adam(1e-3),

@@ -102,6 +102,33 @@ def test_train_step_reduces_loss(rng):
     assert np.isfinite(float(m["grad_norm"]))
 
 
+def test_train_step_bf16_activations_learns(rng):
+    """Mixed-precision training (bf16 activations on the spectrogram CNN,
+    f32 params/BN-stats/optimizer — the TPU analogue of the reference's
+    AMP autocast, training_utils.py:635-682): the loss still goes down and
+    params/opt state stay f32."""
+    import jax.numpy as jnp
+    import optax
+    from multimodal_brain_pattern_identification_xai_tpu import models
+
+    model = models.SpectrogramCNN(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((8, 3, 64, 48)), jnp.float32)
+    y = jnp.asarray(np.eye(6, dtype=np.float32)[rng.integers(0, 6, 8)])
+    state = train.create_train_state(model, (x,), optax.adam(1e-3),
+                                     jax.random.PRNGKey(0))
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+    step = train.make_train_step()
+    batch = {"x": x, "y": y}
+    key = jax.random.PRNGKey(1)
+    _, m0 = step(state, batch, key)
+    for _ in range(25):
+        state, m = step(state, batch, key)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+
+
 @pytest.mark.slow
 def test_determinism_same_key_same_logits(rng):
     """Same PRNG key ⇒ bitwise-identical training trajectory (§5.2)."""
