@@ -271,6 +271,51 @@ def bench_train() -> None:
     }))
 
 
+def bench_diffeeg_train() -> None:
+    """Optional mode: DiffEEG TRAINING throughput at the reference budget
+    shape — one optimizer step = 50 grad-accumulation micro-batches of 64
+    windows (DiffEEG_train.py:110,121), each with in-step STFT
+    conditioning, same-class spectrogram mixup, q-sample, and the
+    rematerialized denoiser fwd+bwd, all inside ONE jitted scan.
+    ``python bench.py --diffeeg-train``."""
+    import jax
+    import jax.numpy as jnp
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu import models, train
+
+    cfg = C.DiffEEGConfig(batch_size=int(os.environ.get("BENCH_BATCH", 64)))
+    model = models.DiffEEG(n_channels=cfg.n_channels,
+                           hidden=cfg.hidden_channels)
+    trainer = train.DiffEEGTrainer(model, cfg, ckpt_dir=None, seed=0)
+    K, B, T = (cfg.gradient_accumulate_every, cfg.batch_size,
+               cfg.input_length)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((K, B, cfg.n_channels, T)),
+                     jnp.float32)
+    ys = jnp.asarray(np.eye(6, dtype=np.float32)[
+        rng.integers(0, 6, (K, B))])
+
+    def run_chain(state_, iters):
+        st, ema, xs_ = state_
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, ema, loss = trainer._train_step(st, ema, key, xs_, ys)
+            xs_ = xs_ * (1.0 + loss * 1e-6)
+        _ = float(loss)
+        return (st, ema, xs_), time.perf_counter() - t0
+
+    s0, _ = run_chain((trainer.state, trainer.ema, xs), 1)   # compile
+    per_step = _timed_reps(run_chain, s0, iters=2, reps=3)
+    wps = K * B / per_step
+    print(json.dumps({
+        "metric": "diffeeg_train_windows_per_sec_per_chip",
+        "value": round(wps, 2), "unit": "windows/s",
+        "vs_baseline": None,
+        "step_ms": round(per_step * 1e3, 1),
+    }))
+
+
 def bench_longeeg() -> None:
     """Optional mode (BASELINE config #4): transformer encoder over
     LONG multi-hour EEG with attention-rollout attribution.  One chip
@@ -433,6 +478,8 @@ if __name__ == "__main__":
         bench_train()
     elif "--longeeg" in sys.argv:
         bench_longeeg()
+    elif "--diffeeg-train" in sys.argv:
+        bench_diffeeg_train()
     elif "--multimodal" in sys.argv:
         bench_multimodal()
     elif "--diffusion" in sys.argv:

@@ -192,14 +192,17 @@ def cmd_train_multimodal(args) -> int:
     mirror = jax.jit(ops.mirror_eeg)
 
     def train_iter():
-        for batch in raw_batches(tr_idx, bs, True):
-            eeg_raw = jnp.asarray(batch["eeg"])
+        # background-thread prefetch: host-side gather (parquet decode /
+        # crop — pyarrow releases the GIL) of batch N+1 overlaps the
+        # device preprocess + train step of batch N
+        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True)):
+            eeg_raw = batch["eeg"]
             if cfg.augment:
                 # CFG.AUGMENT parity: left/right hemisphere mirror applied
                 # to train samples before filtering (XAI_Mm.py:805-806)
                 eeg_raw = mirror(eeg_raw)
-            e, s = pp(eeg_raw, jnp.asarray(batch["spec"]))
-            yb = jnp.asarray(batch["y"])
+            e, s = pp(eeg_raw, batch["spec"])
+            yb = batch["y"]
             # in-batch reference pool for MixUp (the reference sweeps the
             # train loader once to build it; same distribution)
             key = jax.random.fold_in(aug_key, next(counter))
@@ -207,8 +210,8 @@ def cmd_train_multimodal(args) -> int:
             yield {"eeg": e, "spec": s, "y": yb}
 
     def val_iter():
-        for batch in raw_batches(va_idx, bs, False):
-            e, s = pp(jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+        for batch in data.prefetch_to_device(raw_batches(va_idx, bs, False)):
+            e, s = pp(batch["eeg"], batch["spec"])
             yield {"eeg": e, "spec": s, "y": batch["y"]}
 
     mm = models.MultimodalModel(eeg_model=eeg_model,
