@@ -17,12 +17,88 @@ key from the trainer.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import config as C
+
+
+@functools.lru_cache(maxsize=16)
+def _convt_maps(f_in: int, ts_in: int):
+    """Per-tap index maps of ``nn.ConvTranspose(kernel=(3,3),
+    strides=(1,8), padding=((1,1),(2,2)))``: for every output position and
+    kernel tap, which input position contributes (−1 = none).
+
+    Derived by probing the REAL lax op with delta kernels on
+    position-coded inputs (concrete arrays, so this executes eagerly even
+    under an enclosing trace; cached per shape).  Probing instead of
+    re-deriving lax.conv_transpose's padding arithmetic keeps this exact
+    by construction — pinned by
+    tests/test_diffusion.py::test_gathered_conditioning_exact.
+    """
+    fmap, tmap = [], []
+    # time axis (stride 8): one probe per kw on a (1, 1, ts_in, 1) ramp
+    # (explicit f32 so jax_enable_x64 contexts don't break dtype matching;
+    # ramp values are integers ≤ ts_in, exact in f32)
+    xt = jnp.arange(1.0, ts_in + 1.0, dtype=jnp.float32)[None, None, :, None]
+    for kw in range(3):
+        k = np.zeros((1, 3, 1, 1), np.float32)
+        k[0, kw, 0, 0] = 1.0
+        out = jax.lax.conv_transpose(xt, jnp.asarray(k), (1, 8),
+                                     ((0, 0), (2, 2)),
+                                     dimension_numbers=("NHWC", "HWIO",
+                                                        "NHWC"))
+        o = np.rint(np.asarray(out))[0, 0, :, 0].astype(np.int64)
+        tmap.append(o - 1)                        # value v>0 ↔ ti=v−1
+    # frequency axis (stride 1): same probe trick per kh
+    xf = jnp.arange(1.0, f_in + 1.0, dtype=jnp.float32)[None, :, None, None]
+    for kh in range(3):
+        k = np.zeros((3, 1, 1, 1), np.float32)
+        k[kh, 0, 0, 0] = 1.0
+        out = jax.lax.conv_transpose(xf, jnp.asarray(k), (1, 1),
+                                     ((1, 1), (0, 0)),
+                                     dimension_numbers=("NHWC", "HWIO",
+                                                        "NHWC"))
+        o = np.rint(np.asarray(out))[0, :, 0, 0].astype(np.int64)
+        fmap.append(o - 1)
+    ts_out = len(tmap[0])
+    f_out = len(fmap[0])
+    return f_out, ts_out, fmap, tmap
+
+
+@functools.lru_cache(maxsize=16)
+def _gather_plan(f_in: int, ts_in: int, T: int):
+    """Static plan for evaluating the conditioning upsampler ONLY at the
+    2·T flat positions the linear interpolation reads (lo and hi taps),
+    instead of materializing the full (F, 8·Ts) plane (~2 GB at the
+    reference shape, ~88% of it never sampled).
+
+    Returns per-tap (kh, kw) gather indices into the (F_in, Ts_in) input
+    plane plus validity masks, and the lerp weights."""
+    f_out, ts_out, fmap, tmap = _convt_maps(f_in, ts_in)
+    L = f_out * ts_out
+    pos = np.clip((np.arange(T) + 0.5) * (L / T) - 0.5, 0.0, L - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, L - 1)
+    w = (pos - lo).astype(np.float32)
+    flat = np.concatenate([lo, hi])               # (2T,)
+    f_s, t_s = flat // ts_out, flat % ts_out
+    idx_f = np.zeros((3, 2 * T), np.int64)
+    idx_t = np.zeros((3, 2 * T), np.int64)
+    ok_f = np.zeros((3, 2 * T), np.float32)
+    ok_t = np.zeros((3, 2 * T), np.float32)
+    for k in range(3):
+        fi = np.asarray(fmap[k])[f_s]
+        ti = np.asarray(tmap[k])[t_s]
+        ok_f[k] = fi >= 0
+        ok_t[k] = ti >= 0
+        idx_f[k] = np.maximum(fi, 0)
+        idx_t[k] = np.maximum(ti, 0)
+    return idx_f, idx_t, ok_f, ok_t, w
 
 
 def linear_interpolate_time(s: jnp.ndarray, T: int) -> jnp.ndarray:
@@ -128,13 +204,54 @@ class DiffEEG(nn.Module):
         Depends only on (y, spec) — constant across all diffusion steps of
         one generation, so the sampler precomputes it ONCE and reuses it
         for the 1000-step reverse scan (the reference recomputes the whole
-        branch in every one of the 1000 forwards, hot loop #4)."""
-        # === Class embedding ===  (diffEEG.py:44, 104-106)
+        branch in every one of the 1000 forwards, hot loop #4).
+
+        The upsampler is evaluated ONLY at the 2·T flattened positions
+        the linear interpolation reads (9 static gathers + one small
+        contraction) instead of materializing the full (F, 8·Ts) plane —
+        ~2 GB at the reference shape, ~88% of it never sampled, and its
+        gradient was the dominant cost of every training micro-batch.
+        Algebraically identical to the dense chain (the two linear 1×1
+        convs commute with the lerp; relu is applied pointwise at the
+        gathered positions exactly as the dense path applies it before
+        flattening); exactness pinned against :meth:`conditioning_dense`.
+        """
         labels = jnp.argmax(y, axis=-1)
         class_emb = self.class_embedding(labels)[:, None, :]   # (B, 1, H)
 
-        # === Spectrogram branch ===  (diffEEG.py:47-57, 108-117)
-        # (B, C, F, Ts) → NHWC (B, F, Ts, C)
+        s = jnp.transpose(spec, (0, 2, 3, 1))            # (B, F, Ts, C)
+        B, F, Ts, Ci = s.shape
+        idx_f, idx_t, ok_f, ok_t, w = _gather_plan(F, Ts, T)
+        if self.is_initializing():
+            _ = self.spectrogram_upsample1(jnp.zeros((1, 4, 8, Ci), s.dtype))
+        kern = self.spectrogram_upsample1.variables["params"]["kernel"]
+        bias = self.spectrogram_upsample1.variables["params"]["bias"]
+        out = jnp.zeros((B, idx_f.shape[1], kern.shape[-1]), s.dtype)
+        for kh in range(3):
+            for kw in range(3):
+                mask = ok_f[kh] * ok_t[kw]
+                if not mask.any():
+                    continue
+                xg = s[:, idx_f[kh], idx_t[kw], :]       # (B, 2T, Ci)
+                xg = xg * jnp.asarray(mask, s.dtype)[None, :, None]
+                out = out + xg @ kern[kh, kw].astype(s.dtype)
+        out = nn.relu(out + bias.astype(s.dtype))        # (B, 2T, H/2)
+        lo, hi = out[:, :T, :], out[:, T:, :]
+        wj = jnp.asarray(w)[None, :, None].astype(out.dtype)
+        si = lo * (1.0 - wj) + hi * wj                   # (B, T, H/2)
+        si = self.channel_expand(si)
+        si = self.spectrogram_project(si)
+        si = self.gtu(si)                                # (B, T, H)
+        return si + class_emb
+
+    def conditioning_dense(self, y: jnp.ndarray, spec: jnp.ndarray,
+                           T: int) -> jnp.ndarray:
+        """Reference-literal dense chain (diffEEG.py:47-57, 108-117):
+        full ConvTranspose plane → relu → flatten → 2-tap lerp → 1×1
+        convs → GTU.  Kept as the golden for the gathered path."""
+        labels = jnp.argmax(y, axis=-1)
+        class_emb = self.class_embedding(labels)[:, None, :]   # (B, 1, H)
+
         s = jnp.transpose(spec, (0, 2, 3, 1))
         s = nn.relu(self.spectrogram_upsample1(s))       # (B, F, Ts', H/2)
         b, f, ts, c = s.shape
