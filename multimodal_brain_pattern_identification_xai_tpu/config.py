@@ -173,6 +173,12 @@ class DiffEEGConfig:
     stft_n_fft: int = 64
     stft_noverlap: int = 32
     stft_window: str = "hann"
+    #: rematerialize the denoiser in backward (the reference wraps its
+    #: residual blocks in torch.utils.checkpoint, diffEEG.py:126-129,
+    #: because of GPU memory pressure at B=64; v5e has HBM headroom, so
+    #: the recompute is pure overhead — off by default, flip on for
+    #: memory-constrained configs
+    remat: bool = False
 
 
 @dataclass(frozen=True)

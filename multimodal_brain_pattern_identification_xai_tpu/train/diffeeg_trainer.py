@@ -85,12 +85,15 @@ class DiffEEGTrainer:
             noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
             a = schedule.alpha_bar[t].reshape(-1, 1, 1)
             x_t = jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
-            # remat the denoiser: the reference wraps its residual blocks
-            # in torch.utils.checkpoint (diffEEG.py:126-129)
-            apply = jax.checkpoint(
-                lambda p, xt, yy, tt, sp: model.apply(
-                    {"params": p}, xt, yy, tt.astype(jnp.float32), sp,
-                    True, rngs={"dropout": k_drop}))
+            # optional remat of the denoiser: the reference wraps its
+            # residual blocks in torch.utils.checkpoint (diffEEG.py:126-129)
+            # for GPU memory; on TPU the recompute is pure overhead unless
+            # HBM-constrained (cfg.remat)
+            apply = lambda p, xt, yy, tt, sp: model.apply(
+                {"params": p}, xt, yy, tt.astype(jnp.float32), sp,
+                True, rngs={"dropout": k_drop})
+            if cfg.remat:
+                apply = jax.checkpoint(apply)
             eps_pred = apply(params, x_t, y, t, spec)
             return jnp.mean((eps_pred - noise) ** 2)
 
