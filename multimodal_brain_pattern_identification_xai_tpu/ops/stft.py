@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +26,18 @@ import numpy as np
 def _hann_periodic(n: int) -> np.ndarray:
     """Periodic Hann window, = scipy.signal.get_window('hann', n)."""
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=16)
+def _rdft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT matrices (n, n//2+1): ``rfft(v) = v @ (Dr + i·Di)``.
+
+    A length-64 DFT as two matmuls beats ``jnp.fft.rfft`` on TPU — tiny
+    FFTs lower poorly there, while the (frames, 64) @ (64, 33) contraction
+    rides the MXU and fuses with the window multiply."""
+    k = np.arange(n)[:, None] * np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * k / n
+    return np.cos(ang), np.sin(ang)
 
 
 def stft(x: jnp.ndarray, fs: float = 200.0, nperseg: int = 64,
@@ -52,8 +65,11 @@ def stft(x: jnp.ndarray, fs: float = 200.0, nperseg: int = 64,
 
     win = _hann_periodic(nperseg)
     w = jnp.asarray(win, x.dtype)
-    spec = jnp.fft.rfft(frames * w, axis=-1)         # (..., n_frames, F)
-    spec = spec * (1.0 / win.sum())
+    dr, di = _rdft_mats(nperseg)
+    fw = frames * w                                  # (..., n_frames, n)
+    scale = 1.0 / win.sum()
+    spec = jax.lax.complex(fw @ jnp.asarray(dr * scale, x.dtype),
+                           fw @ jnp.asarray(di * scale, x.dtype))
     Zxx = jnp.swapaxes(spec, -1, -2)                 # (..., F, n_frames)
 
     f = np.fft.rfftfreq(nperseg, d=1.0 / fs)
