@@ -276,8 +276,9 @@ def bench_diffeeg_train() -> None:
     shape — one optimizer step = 50 grad-accumulation micro-batches of 64
     windows (DiffEEG_train.py:110,121), each with in-step STFT
     conditioning, same-class spectrogram mixup, q-sample, and the
-    rematerialized denoiser fwd+bwd, all inside ONE jitted scan.
-    ``python bench.py --diffeeg-train``."""
+    denoiser fwd+bwd (no remat — DiffEEGConfig.remat defaults off on
+    TPU; the reference checkpoints for GPU memory), all inside ONE
+    jitted scan.  ``python bench.py --diffeeg-train``."""
     import jax
     import jax.numpy as jnp
     import multimodal_brain_pattern_identification_xai_tpu.config as C

@@ -216,7 +216,11 @@ def cmd_train_multimodal(args) -> int:
 
     mm = models.MultimodalModel(eeg_model=eeg_model,
                                 spectrogram_model=models.SpectrogramCNN())
-    first = next(val_iter())
+    # init probe built directly (not via next(val_iter()): abandoning a
+    # prefetching generator would keep staged device batches alive)
+    fb = next(raw_batches(va_idx, bs, False))
+    fe, fs_ = pp(jnp.asarray(fb["eeg"]), jnp.asarray(fb["spec"]))
+    first = {"eeg": fe, "spec": fs_, "y": fb["y"]}
     tx = train.state.make_optimizer(cfg.trainer.lr)
     state = train.create_train_state(
         mm, (first["eeg"][:2], first["spec"][:2]), tx,

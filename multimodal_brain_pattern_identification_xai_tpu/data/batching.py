@@ -9,7 +9,6 @@ next batch with compute on the current one.
 
 from __future__ import annotations
 
-import collections
 import threading
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 
@@ -47,29 +46,58 @@ def prefetch_to_device(iterator: Iterable[Dict[str, np.ndarray]],
                        ) -> Iterator[Dict[str, jax.Array]]:
     """Background-thread prefetcher: stages ``size`` batches ahead on
     device (optionally with a sharding) so H2D copies overlap compute —
-    the TPU analogue of DataLoader worker prefetching."""
-    queue: "collections.deque" = collections.deque()
-    sem = threading.Semaphore(size)
-    done = object()
+    the TPU analogue of DataLoader worker prefetching.
 
-    def put(batch):
+    Producer exceptions (corrupt parquet, device OOM) re-raise in the
+    consumer rather than hanging it, and closing/abandoning the generator
+    stops the producer and releases its staged device batches.
+    """
+    import queue as _queue
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    stop = threading.Event()
+    _DONE, _ERR = object(), object()
+
+    def put_batch(batch):
         if sharding is not None:
             return {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 
+    def enqueue(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
     def producer():
-        for batch in iterator:
-            sem.acquire()
-            queue.append(put(batch))
-        queue.append(done)
+        try:
+            for batch in iterator:
+                if not enqueue(put_batch(batch)):
+                    return
+        except BaseException as e:                   # noqa: BLE001
+            enqueue((_ERR, e))
+            return
+        enqueue(_DONE)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        while not queue:
-            t.join(timeout=0.001)
-        item = queue.popleft()
-        if item is done:
-            return
-        sem.release()
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer blocked on put() can observe the stop flag
+        # and its staged device batches get dropped promptly
+        while True:
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break

@@ -27,59 +27,47 @@ import numpy as np
 from .. import config as C
 
 
-@functools.lru_cache(maxsize=16)
-def _convt_maps(f_in: int, ts_in: int):
-    """Per-tap index maps of ``nn.ConvTranspose(kernel=(3,3),
-    strides=(1,8), padding=((1,1),(2,2)))``: for every output position and
-    kernel tap, which input position contributes (−1 = none).
-
-    Derived by probing the REAL lax op with delta kernels on
-    position-coded inputs (concrete arrays, so this executes eagerly even
-    under an enclosing trace; cached per shape).  Probing instead of
-    re-deriving lax.conv_transpose's padding arithmetic keeps this exact
-    by construction — pinned by
-    tests/test_diffusion.py::test_gathered_conditioning_exact.
-    """
-    fmap, tmap = [], []
-    # time axis (stride 8): one probe per kw on a (1, 1, ts_in, 1) ramp
-    # (explicit f32 so jax_enable_x64 contexts don't break dtype matching;
-    # ramp values are integers ≤ ts_in, exact in f32)
-    xt = jnp.arange(1.0, ts_in + 1.0, dtype=jnp.float32)[None, None, :, None]
-    for kw in range(3):
-        k = np.zeros((1, 3, 1, 1), np.float32)
-        k[0, kw, 0, 0] = 1.0
-        out = jax.lax.conv_transpose(xt, jnp.asarray(k), (1, 8),
-                                     ((0, 0), (2, 2)),
+def _probe_axis_maps(n_in: int, kernel: int, stride: int,
+                     pad: tuple) -> list:
+    """For one conv-transpose axis: per-kernel-tap arrays mapping each
+    output position to its contributing input position (−1 = none),
+    derived by probing the REAL lax op with a delta kernel on a
+    position-coded ramp (concrete arrays, so this executes eagerly even
+    under an enclosing trace).  Probing instead of re-deriving
+    lax.conv_transpose's padding arithmetic keeps this exact by
+    construction."""
+    maps = []
+    # explicit f32 so jax_enable_x64 contexts don't break dtype matching;
+    # ramp values are integers ≤ n_in, exact in f32
+    x = jnp.arange(1.0, n_in + 1.0, dtype=jnp.float32)[None, None, :, None]
+    for kk in range(kernel):
+        k = np.zeros((1, kernel, 1, 1), np.float32)
+        k[0, kk, 0, 0] = 1.0
+        out = jax.lax.conv_transpose(x, jnp.asarray(k), (1, stride),
+                                     ((0, 0), tuple(pad)),
                                      dimension_numbers=("NHWC", "HWIO",
                                                         "NHWC"))
         o = np.rint(np.asarray(out))[0, 0, :, 0].astype(np.int64)
-        tmap.append(o - 1)                        # value v>0 ↔ ti=v−1
-    # frequency axis (stride 1): same probe trick per kh
-    xf = jnp.arange(1.0, f_in + 1.0, dtype=jnp.float32)[None, :, None, None]
-    for kh in range(3):
-        k = np.zeros((3, 1, 1, 1), np.float32)
-        k[kh, 0, 0, 0] = 1.0
-        out = jax.lax.conv_transpose(xf, jnp.asarray(k), (1, 1),
-                                     ((1, 1), (0, 0)),
-                                     dimension_numbers=("NHWC", "HWIO",
-                                                        "NHWC"))
-        o = np.rint(np.asarray(out))[0, :, 0, 0].astype(np.int64)
-        fmap.append(o - 1)
-    ts_out = len(tmap[0])
-    f_out = len(fmap[0])
-    return f_out, ts_out, fmap, tmap
+        maps.append(o - 1)                        # value v>0 ↔ index v−1
+    return maps
 
 
 @functools.lru_cache(maxsize=16)
-def _gather_plan(f_in: int, ts_in: int, T: int):
+def _gather_plan(f_in: int, ts_in: int, T: int,
+                 kernel: tuple, strides: tuple, padding: tuple):
     """Static plan for evaluating the conditioning upsampler ONLY at the
     2·T flat positions the linear interpolation reads (lo and hi taps),
-    instead of materializing the full (F, 8·Ts) plane (~2 GB at the
-    reference shape, ~88% of it never sampled).
+    instead of materializing the full (F_out, stride·Ts) plane (~2 GB at
+    the reference shape, ~88% of it never sampled).
 
+    Geometry (kernel/strides/padding) comes from the live ConvTranspose
+    module, so a config change cannot silently desynchronize the probe.
     Returns per-tap (kh, kw) gather indices into the (F_in, Ts_in) input
-    plane plus validity masks, and the lerp weights."""
-    f_out, ts_out, fmap, tmap = _convt_maps(f_in, ts_in)
+    plane plus validity masks, and the lerp weights — pinned by
+    tests/test_diffusion.py::test_gathered_conditioning_exact."""
+    fmap = _probe_axis_maps(f_in, kernel[0], strides[0], padding[0])
+    tmap = _probe_axis_maps(ts_in, kernel[1], strides[1], padding[1])
+    f_out, ts_out = len(fmap[0]), len(tmap[0])
     L = f_out * ts_out
     pos = np.clip((np.arange(T) + 0.5) * (L / T) - 0.5, 0.0, L - 1.0)
     lo = np.floor(pos).astype(np.int64)
@@ -87,16 +75,18 @@ def _gather_plan(f_in: int, ts_in: int, T: int):
     w = (pos - lo).astype(np.float32)
     flat = np.concatenate([lo, hi])               # (2T,)
     f_s, t_s = flat // ts_out, flat % ts_out
-    idx_f = np.zeros((3, 2 * T), np.int64)
-    idx_t = np.zeros((3, 2 * T), np.int64)
-    ok_f = np.zeros((3, 2 * T), np.float32)
-    ok_t = np.zeros((3, 2 * T), np.float32)
-    for k in range(3):
+    kh_n, kw_n = kernel
+    idx_f = np.zeros((kh_n, 2 * T), np.int64)
+    idx_t = np.zeros((kw_n, 2 * T), np.int64)
+    ok_f = np.zeros((kh_n, 2 * T), np.float32)
+    ok_t = np.zeros((kw_n, 2 * T), np.float32)
+    for k in range(kh_n):
         fi = np.asarray(fmap[k])[f_s]
-        ti = np.asarray(tmap[k])[t_s]
         ok_f[k] = fi >= 0
-        ok_t[k] = ti >= 0
         idx_f[k] = np.maximum(fi, 0)
+    for k in range(kw_n):
+        ti = np.asarray(tmap[k])[t_s]
+        ok_t[k] = ti >= 0
         idx_t[k] = np.maximum(ti, 0)
     return idx_f, idx_t, ok_f, ok_t, w
 
@@ -221,14 +211,17 @@ class DiffEEG(nn.Module):
 
         s = jnp.transpose(spec, (0, 2, 3, 1))            # (B, F, Ts, C)
         B, F, Ts, Ci = s.shape
-        idx_f, idx_t, ok_f, ok_t, w = _gather_plan(F, Ts, T)
+        up = self.spectrogram_upsample1
+        idx_f, idx_t, ok_f, ok_t, w = _gather_plan(
+            F, Ts, T, tuple(up.kernel_size), tuple(up.strides),
+            tuple(tuple(p) for p in up.padding))
         if self.is_initializing():
-            _ = self.spectrogram_upsample1(jnp.zeros((1, 4, 8, Ci), s.dtype))
-        kern = self.spectrogram_upsample1.variables["params"]["kernel"]
-        bias = self.spectrogram_upsample1.variables["params"]["bias"]
+            _ = up(jnp.zeros((1, 4, 8, Ci), s.dtype))
+        kern = up.variables["params"]["kernel"]
+        bias = up.variables["params"]["bias"]
         out = jnp.zeros((B, idx_f.shape[1], kern.shape[-1]), s.dtype)
-        for kh in range(3):
-            for kw in range(3):
+        for kh in range(idx_f.shape[0]):
+            for kw in range(idx_t.shape[0]):
                 mask = ok_f[kh] * ok_t[kw]
                 if not mask.any():
                     continue
