@@ -239,7 +239,10 @@ def cmd_train_multimodal(args) -> int:
                             ckpt_dir=f"{args.ckpt_dir}/multimodal",
                             epoch_callbacks=callbacks)
     _, best, _ = trainer.train_eval(train_iter, val_iter)
-    print(f"best kldiv: {best:.4f}")
+    from . import utils
+    p = utils.plot_training_curves(trainer.history, args.ckpt_dir,
+                                   "multimodal_training_curves")
+    print(f"best kldiv: {best:.4f}; curves: {p}")
     if lime_every:
         print(f"lime snapshots: {len(callbacks[0].results)}")
     return 0
