@@ -4,6 +4,7 @@ batching/prefetch, dummy fixtures, loggers, plots, seeding."""
 import os
 
 import numpy as np
+import pytest
 import jax
 
 import multimodal_brain_pattern_identification_xai_tpu.config as C
@@ -70,6 +71,29 @@ def test_batch_iterator_and_prefetch(rng):
         data.batch_iterator(arrays, 4), size=2))
     assert len(dev_batches) == 2
     assert isinstance(dev_batches[0]["x"], jax.Array)
+
+
+def test_prefetch_propagates_producer_errors(rng):
+    """A host-loader exception inside the producer thread must re-raise in
+    the consumer (not hang it), and abandoning the generator must not
+    deadlock the producer."""
+    def bad_iter():
+        yield {"x": rng.standard_normal((2, 3)).astype(np.float32)}
+        raise RuntimeError("corrupt parquet")
+
+    it = data.prefetch_to_device(bad_iter(), size=2)
+    first = next(it)
+    assert first["x"].shape == (2, 3)
+    with pytest.raises(RuntimeError, match="corrupt parquet"):
+        next(it)
+
+    # abandoning mid-stream: close() must return promptly
+    def slow_iter():
+        for i in range(100):
+            yield {"x": np.full((1,), i, np.float32)}
+    g = data.prefetch_to_device(slow_iter(), size=2)
+    _ = next(g)
+    g.close()          # triggers the stop flag + drain; must not hang
 
 
 def test_dummy_fixtures(rng):
