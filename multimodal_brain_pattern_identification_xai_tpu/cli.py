@@ -368,6 +368,12 @@ def cmd_xai(args) -> int:
         sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
         eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec,
                                                     signal=sig)
+        # background set distinct from the explained batch (the reference
+        # draws ~100 train-loader samples, XAI_Multimodality.py:2242-2254)
+        bg_raw = data.synthetic_raw_eeg(32, rng, n_points=2000)
+        eeg_bg, _ = ops.preprocess_multimodal(
+            bg_raw, data.synthetic_raw_spectrogram(32, rng, shape=(80, 60)),
+            signal=sig)
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(samples=600,
                                                         kern_length=16),
@@ -384,6 +390,16 @@ def cmd_xai(args) -> int:
         batch = src.gather(np.arange(n))
         eeg_in, spec_in = ops.preprocess_multimodal(
             jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+        # SHAP background: ~100 samples drawn from the fold-0 TRAIN split
+        # (XAI_Multimodality.py:2242-2254), not the explained batch
+        labels = np.asarray([C.NAME2LABEL[c]
+                             for c in src.meta["expert_consensus"]])
+        tr_idx, _ = train.stratified_kfold(labels, n_splits=cfg.n_folds,
+                                           seed=args.seed)[0]
+        bg_rows = tr_idx[:min(100, len(tr_idx))]
+        bg = src.gather(np.asarray(bg_rows))
+        eeg_bg, _ = ops.preprocess_multimodal(
+            jnp.asarray(bg["eeg"]), jnp.asarray(bg["spec"]))
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(),
             spectrogram_model=models.SpectrogramCNN())
@@ -411,7 +427,7 @@ def cmd_xai(args) -> int:
                                 "eeg_saliency",
                                 xai.channel_select.channel_names_37())
     eeg_fwd = lambda e: mm.apply(variables, e, method=mm.forward_eeg)
-    shap_vals = xai.gradient_shap_values(eeg_fwd, eeg_in[:2], eeg_in,
+    shap_vals = xai.gradient_shap_values(eeg_fwd, eeg_in[:2], eeg_bg,
                                          jax.random.PRNGKey(0), nsamples=16)
     idx, scores = xai.get_top_n_channels(np.asarray(shap_vals), n=10)
     names = xai.channel_select.channel_names_37()

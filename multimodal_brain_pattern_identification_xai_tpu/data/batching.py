@@ -94,8 +94,19 @@ def prefetch_to_device(iterator: Iterable[Dict[str, np.ndarray]],
             yield item
     finally:
         stop.set()
-        # drain so a producer blocked on put() can observe the stop flag
-        # and its staged device batches get dropped promptly
+        # drain until the producer thread is dead: a single drain pass races
+        # a producer blocked in put() (it can fill the slot the drain just
+        # freed and decode one more batch after close).  Bounded: if the
+        # producer is stuck upstream of put() (daemon thread) give up after
+        # ~5 s rather than hanging the consumer.
+        import time as _time
+        deadline = _time.monotonic() + 5.0
+        while t.is_alive() and _time.monotonic() < deadline:
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                t.join(timeout=0.1)
+        # final sweep for anything staged between the last get and join
         while True:
             try:
                 q.get_nowait()

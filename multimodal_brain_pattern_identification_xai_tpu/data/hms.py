@@ -72,6 +72,17 @@ def build_or_load_eeg_cache(cache_path: str, eeg_dir: str,
     (main.py:84-98)."""
     if os.path.exists(cache_path):
         cache = EEGRecordCache.load(cache_path)
+        # a cache built at a different n_points must not be extended (mixed
+        # window lengths would break the np.stack in wavenet_arrays)
+        stale = (len(cache) > 0
+                 and next(iter(cache._store.values())).shape[0] != n_points)
+        if stale:
+            logger.info("eeg cache window length mismatch, rebuilding")
+            cache = EEGRecordCache(cache_path)
+            cache.build(eeg_dir, eeg_ids, n_points=n_points,
+                        n_workers=n_workers)
+            cache.save()
+            return cache
         missing = [e for e in eeg_ids if e not in cache]
         if not missing:
             logger.info("eeg cache hit: %s (%d records)", cache_path,

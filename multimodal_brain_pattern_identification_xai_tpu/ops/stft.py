@@ -68,8 +68,14 @@ def stft(x: jnp.ndarray, fs: float = 200.0, nperseg: int = 64,
     dr, di = _rdft_mats(nperseg)
     fw = frames * w                                  # (..., n_frames, n)
     scale = 1.0 / win.sum()
-    spec = jax.lax.complex(fw @ jnp.asarray(dr * scale, x.dtype),
-                           fw @ jnp.asarray(di * scale, x.dtype))
+    # HIGHEST precision: TPU's default f32 matmul runs in bf16, which would
+    # degrade the conditioner to ~1e-2 relative error (far above the scipy
+    # parity pins); the (·, 64) @ (64, 33) contraction is bandwidth-bound,
+    # so full precision is perf-neutral.
+    hp = jax.lax.Precision.HIGHEST
+    spec = jax.lax.complex(
+        jnp.matmul(fw, jnp.asarray(dr * scale, x.dtype), precision=hp),
+        jnp.matmul(fw, jnp.asarray(di * scale, x.dtype), precision=hp))
     Zxx = jnp.swapaxes(spec, -1, -2)                 # (..., F, n_frames)
 
     f = np.fft.rfftfreq(nperseg, d=1.0 / fs)
