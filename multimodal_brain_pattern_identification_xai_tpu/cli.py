@@ -46,6 +46,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="host loader threads for cache builds")
     p.add_argument("--one-fold", action="store_true",
                    help="train only fold 0 of the CV split")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the latest checkpoint under "
+                        "--ckpt-dir (epoch/step counter, optimizer, EMA, "
+                        "history)")
     p.add_argument("--lime-every", type=int, default=0,
                    help="per-epoch LIME snapshot interval (0 = off; "
                         "--demo defaults to 1)")
@@ -118,6 +122,7 @@ def cmd_train_wavenet(args) -> int:
         state = train.create_train_state(
             model, (x[:2],), tx, jax.random.PRNGKey(args.seed))
         tc = train.TrainerConfig(epochs=epochs, seed=args.seed,
+                                 resume=args.resume,
                                  lr_schedule=train.cosine_schedule_with_warmup(
                                      10, epochs * max(1, len(x) // bs),
                                      cfg.trainer.lr))
@@ -234,7 +239,8 @@ def cmd_train_multimodal(args) -> int:
             every=lime_every, n_segments=40, num_samples=150,
             seed=args.seed))
 
-    tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed)
+    tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed,
+                             resume=args.resume)
     trainer = train.Trainer(state, tc,
                             ckpt_dir=f"{args.ckpt_dir}/multimodal",
                             epoch_callbacks=callbacks)
@@ -317,6 +323,9 @@ def cmd_train_diffeeg(args) -> int:
     trainer = train.DiffEEGTrainer(model, cfg,
                                    ckpt_dir=f"{args.ckpt_dir}/diffeeg",
                                    seed=args.seed)
+    if args.resume:
+        at = trainer.load()
+        print(f"resume: {'step ' + str(at) if at else 'no checkpoint found'}")
     hist = trainer.train(batches, val_batches=val, total_steps=total)
     print(f"final loss: {hist['loss'][-1]:.4f}; evals: {len(hist['eval'])}")
     return 0

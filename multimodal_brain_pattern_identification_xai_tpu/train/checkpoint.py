@@ -83,6 +83,16 @@ class CheckpointManager:
             if os.path.exists(meta_f):
                 os.remove(meta_f)
 
+    def load_meta(self, name: str) -> Optional[Dict]:
+        """Sidecar metadata saved alongside a snapshot (epoch counter,
+        history, best-score bookkeeping — the resume payload of the
+        reference's epoch tarballs, data_utils.py:256-311)."""
+        path = os.path.join(self.ckpt_dir, f"{name}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def latest_step(self) -> Optional[int]:
         steps = [int(d.split("_")[1]) for d in os.listdir(self.ckpt_dir)
                  if d.startswith("step_") and not d.endswith(".json")]

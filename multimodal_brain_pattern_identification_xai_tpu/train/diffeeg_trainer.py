@@ -124,6 +124,24 @@ class DiffEEGTrainer:
 
     # ------------------------------------------------------------------
 
+    def load(self, step: Optional[int] = None) -> Optional[int]:
+        """Resume from the latest (or given) step checkpoint — optimizer
+        state, EMA params, step counter and PRNG key (reference
+        ``DiffEEGTrainer.load``, DiffEEG_train.py:87-103).  Returns the
+        restored step, or None when no checkpoint exists."""
+        if self.ckpt is None:
+            return None
+        step = step if step is not None else self.ckpt.latest_step()
+        if step is None:
+            return None
+        tpl = {"state": self.state, "ema": self.ema.params, "rng": self.rng}
+        restored = self.ckpt.restore(f"step_{step}", tpl)
+        self.state = restored["state"]
+        self.ema = self.ema._replace(params=restored["ema"])
+        self.rng = restored["rng"]
+        logger.info("resumed DiffEEG trainer at step %d", step)
+        return step
+
     def train(self, batch_iter_factory: Callable[[], Iterator],
               val_batches: Optional[list] = None,
               total_steps: Optional[int] = None) -> Dict[str, list]:
@@ -156,9 +174,13 @@ class DiffEEGTrainer:
                 self.state, self.ema, key, xs, ys)
             history["loss"].append(float(loss))
             if self.ckpt and (step + 1) % cfg.save_and_sample_every == 0:
+                # {step, model, ema} checkpoint + the PRNG key so a resumed
+                # run continues the exact noise trajectory
+                # (DiffEEG_train.py:172-176)
                 self.ckpt.save_step(step + 1,
                                     {"state": self.state,
-                                     "ema": self.ema.params})
+                                     "ema": self.ema.params,
+                                     "rng": self.rng})
             if val_batches and (step + 1) % cfg.evaluate_every == 0:
                 history["eval"].append(self.evaluate(val_batches))
         return history

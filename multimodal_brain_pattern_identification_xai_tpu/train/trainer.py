@@ -40,6 +40,10 @@ class TrainerConfig:
     eval_metrics: tuple = ("kldiv", "ce", "accuracy", "f1")
     log_every: int = 50
     seed: int = 42
+    #: resume from the latest epoch snapshot under ckpt_dir (the
+    #: reference's ``load_checkpoint`` start_epoch + history resume,
+    #: data_utils.py:256-311)
+    resume: bool = False
 
 
 class Trainer:
@@ -104,11 +108,35 @@ class Trainer:
                    val_loader: Callable[[], Iterable],
                    fold: Optional[int] = None):
         """Full loop (training_utils.py:414-454).  Loader args are
-        zero-arg callables returning fresh epoch iterators."""
+        zero-arg callables returning fresh epoch iterators.
+
+        With ``cfg.resume`` the loop restarts from the latest per-epoch
+        snapshot under ``ckpt_dir`` — train state, epoch counter, loss
+        history and best-metric bookkeeping all restored, exactly the
+        reference's ``load_checkpoint`` semantics (data_utils.py:256-311).
+        """
         best_metric = float("inf")
         bad_epochs = 0
         oof = None
-        for epoch in range(self.cfg.epochs):
+        start_epoch = 0
+        if self.cfg.resume and self.ckpt is not None:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                self.state = self.ckpt.restore(f"step_{latest}", self.state)
+                meta = self.ckpt.load_meta(f"step_{latest}") or {}
+                start_epoch = int(meta.get("epoch", latest - 1)) + 1
+                hist = meta.get("history")
+                if hist:
+                    self.history = {k: list(v) for k, v in hist.items()}
+                best_metric = float(meta.get("best_metric", best_metric))
+                self.ckpt.best_score = float(meta.get("best_score",
+                                                      self.ckpt.best_score))
+                self.ckpt.best_epoch = int(meta.get("best_epoch",
+                                                    self.ckpt.best_epoch))
+                bad_epochs = int(meta.get("bad_epochs", 0))
+                logger.info("resumed from epoch snapshot step_%d "
+                            "(next epoch %d)", latest, start_epoch)
+        for epoch in range(start_epoch, self.cfg.epochs):
             t0 = time.time()
             if not self.cfg.step_per_batch:
                 self._maybe_set_lr(epoch)
@@ -131,6 +159,17 @@ class Trainer:
                 oof = preds
             else:
                 bad_epochs += 1
+            if self.ckpt is not None:
+                # per-epoch resume point (the reference saves an epoch
+                # tarball every epoch, data_utils.py:256-311); pruned to
+                # the last `keep` snapshots
+                self.ckpt.save_step(
+                    epoch + 1, self.state,
+                    meta={"epoch": epoch, "history": self.history,
+                          "best_metric": best_metric,
+                          "best_score": self.ckpt.best_score,
+                          "best_epoch": self.ckpt.best_epoch,
+                          "bad_epochs": bad_epochs})
             msg = (f"[fold {fold}] " if fold is not None else "") + (
                 f"epoch {epoch}: train_loss={train_loss:.4f} "
                 f"val_loss={val_loss:.4f} "

@@ -212,3 +212,75 @@ def test_nan_sentinel_skips_bad_update(rng):
     state3, m2 = step(state2, batch, jax.random.PRNGKey(0))
     assert not bool(m2["nonfinite"])
     assert np.isfinite(float(m2["loss"]))
+
+
+@pytest.mark.slow
+def test_trainer_resume_matches_uninterrupted(tmp_path):
+    """Train 2 epochs, 'kill' the process, resume to 4 → bitwise the same
+    params/history/OOF as an uninterrupted 4-epoch run (the reference's
+    epoch-tarball resume, data_utils.py:256-311)."""
+    def make(dir_, epochs, resume=False):
+        r = np.random.default_rng(5)
+        _, state, batch = _tiny_setup(r)
+        cfg = train.TrainerConfig(epochs=epochs, resume=resume,
+                                  eval_metrics=("kldiv",))
+        batches = [{k: np.asarray(v) for k, v in batch.items()}
+                   for _ in range(2)]
+        return train.Trainer(state, cfg, ckpt_dir=dir_), batches
+
+    tr_a, ba = make(str(tmp_path / "a"), 4)
+    state_a, best_a, oof_a = tr_a.train_eval(lambda: iter(ba),
+                                             lambda: iter(ba))
+    tr_b1, bb = make(str(tmp_path / "b"), 2)
+    tr_b1.train_eval(lambda: iter(bb), lambda: iter(bb))
+    # fresh-process equivalent: brand-new trainer over the same ckpt dir
+    tr_b2, bb2 = make(str(tmp_path / "b"), 4, resume=True)
+    state_b, best_b, oof_b = tr_b2.train_eval(lambda: iter(bb2),
+                                              lambda: iter(bb2))
+    assert tr_b2.history["train_loss"] == pytest.approx(
+        tr_a.history["train_loss"])
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert best_b == pytest.approx(best_a)
+    np.testing.assert_array_equal(oof_a, oof_b)
+
+
+@pytest.mark.slow
+def test_diffeeg_trainer_resume_matches_uninterrupted(tmp_path):
+    """DiffEEG step-checkpoint resume (DiffEEG_train.py:87-103): interrupt
+    at step 4, reload (optimizer + EMA + step + PRNG key), continue to 6 →
+    same trajectory as an uninterrupted 6-step run."""
+    from multimodal_brain_pattern_identification_xai_tpu import config as C
+
+    cfg = C.DiffEEGConfig(n_channels=2, input_length=64, hidden_channels=4,
+                          n_diffusion_steps=8, gradient_accumulate_every=2,
+                          batch_size=2, evaluate_every=1000,
+                          save_and_sample_every=2, min_steps=6,
+                          stft_n_fft=16, stft_noverlap=8)
+
+    def factory():
+        r = np.random.default_rng(3)
+        items = [(r.standard_normal((2, 2, 64)).astype(np.float32),
+                  np.eye(6, dtype=np.float32)[r.integers(0, 6, 2)])
+                 for _ in range(4)]
+        return lambda: iter(items)
+
+    def trainer(dir_):
+        return train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4),
+                                    cfg, ckpt_dir=dir_, seed=9)
+
+    t_a = trainer(str(tmp_path / "a"))
+    t_a.train(factory(), total_steps=6)
+    t_b = trainer(str(tmp_path / "b"))
+    t_b.train(factory(), total_steps=4)
+    t_b2 = trainer(str(tmp_path / "b"))
+    assert t_b2.load() == 4
+    t_b2.train(factory(), total_steps=6)
+    for la, lb in zip(jax.tree_util.tree_leaves(t_a.state.params),
+                      jax.tree_util.tree_leaves(t_b2.state.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for la, lb in zip(jax.tree_util.tree_leaves(t_a.ema.params),
+                      jax.tree_util.tree_leaves(t_b2.ema.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert int(t_b2.state.step) == 6
