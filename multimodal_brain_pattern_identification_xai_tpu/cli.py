@@ -50,6 +50,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="resume training from the latest checkpoint under "
                         "--ckpt-dir (epoch/step counter, optimizer, EMA, "
                         "history)")
+    p.add_argument("--n-samples", type=int, default=None,
+                   help="samples per class for `generate` "
+                        "(default 50; 2 with --demo)")
+    p.add_argument("--augment-dir", default=None,
+                   help="directory of generated_class_{c}.npy files; "
+                        "balanced-merge them into the training set before "
+                        "training (augment_dataset_balanced)")
     p.add_argument("--lime-every", type=int, default=0,
                    help="per-epoch LIME snapshot interval (0 = off; "
                         "--demo defaults to 1)")
@@ -99,6 +106,40 @@ def cmd_train_wavenet(args) -> int:
     tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=True, n_feats=8)
     x = _device_transform_chunks(raw, lambda a: ops.eeg_transform(a, tcfg))
     del raw                                  # ~13.6 GB at full-dataset scale
+
+    if args.augment_dir:
+        # Augmented retraining (reference main_2.py:295-343): load the
+        # generated_class_{c}.npy pools and balanced-merge them into the
+        # real training set.  Generated windows live in the 19-channel
+        # transformed space (what train-diffeeg trained on); the bipolar
+        # magic-8 differencing is linear and per-channel-commutes with the
+        # lowpass/downsample chain, so applying it here maps them into the
+        # WaveNet's input space exactly.
+        import jax.numpy as jnp
+        from . import diffusion
+        gen = {}
+        for c in range(6):
+            p_ = os.path.join(args.augment_dir, f"generated_class_{c}.npy")
+            if not os.path.exists(p_):
+                print(f"warning: {p_} missing")         # main_2.py:308
+                continue
+            arr = np.load(p_)                           # (M, 19, 2000)
+            if arr.ndim != 3 or arr.shape[1] != len(C.EEG_FEATURES) \
+                    or arr.shape[2] != x.shape[1]:
+                print(f"warning: {p_} shape {arr.shape} does not match the "
+                      f"19-channel/{x.shape[1]}-pt transformed space; "
+                      "skipping")
+                continue
+            g8 = np.asarray(ops.chris_magic_ch8(
+                jnp.asarray(arr.transpose(0, 2, 1)),
+                columns=C.EEG_FEATURES))                # (M, 2000, 8)
+            gen[c] = g8.astype(np.float32)
+        n_real = len(x)
+        x, y, groups = diffusion.augment_dataset_balanced(
+            x, y, gen, seed=args.seed, groups=groups)
+        print(f"augmented dataset: {n_real} real + {len(x) - n_real} "
+              f"synthetic samples")
+
     splits = train.group_kfold(groups, n_splits=cfg.n_folds)
 
     bs = args.batch_size or 16
@@ -332,26 +373,55 @@ def cmd_train_diffeeg(args) -> int:
 
 
 def cmd_generate(args) -> int:
-    """Class-conditional generation (generate_for_class)."""
-    import jax
-    from . import config as C, diffusion, models
+    """Class-conditional generation from the TRAINED DiffEEG checkpoint
+    (reference ``generate_for_class`` DiffEEG_utils.py:291-313, driver
+    main.py:125-157: restore the ``{step, model, ema}`` checkpoint, sample
+    every class from a zeros spectrogram prior with the EMA weights, write
+    ``generated_class_{c}.npy`` for the augmented-retrain consumer).
 
-    cfg = C.DiffEEGConfig(n_channels=4, input_length=256, hidden_channels=8,
-                          n_diffusion_steps=50)
-    model = models.DiffEEG(n_channels=4, hidden=8)
-    import jax.numpy as jnp
-    x0 = jnp.zeros((1, 4, 256))
-    variables = model.init(jax.random.PRNGKey(args.seed), x0,
-                           jnp.zeros((1, 6)), jnp.zeros((1,)),
-                           jnp.zeros((1, 4, 17, 256)))
-    sched = diffusion.make_schedule(cfg.n_diffusion_steps)
-    den = lambda x, y, t, s: model.apply(variables, x, y, t, s)
-    for c in range(6):
-        out = diffusion.generate_for_class(
-            sched, den, jax.random.PRNGKey(c), c, n_samples=2, n_channels=4,
-            length=256, spec_shape=(17, 256))
-        np.save(f"{args.ckpt_dir}/generated_class_{c}.npy", out)
-        print(f"class {c}: {out.shape} saved")
+    Shapes/steps come from ``cfg.diffeeg`` (``--set diffeeg.k=v`` works);
+    the checkpoint is the latest ``train-diffeeg`` step snapshot under
+    ``--ckpt-dir/diffeeg``.
+    """
+    import jax
+    from . import config as C, diffusion, models, train
+
+    if args.demo:
+        cfg = C.DiffEEGConfig(n_channels=4, input_length=256,
+                              hidden_channels=8, n_diffusion_steps=50,
+                              stft_n_fft=32, stft_noverlap=16)
+    else:
+        cfg = _load_cfg(args).diffeeg
+    model = models.DiffEEG(n_channels=cfg.n_channels,
+                           hidden=cfg.hidden_channels)
+    trainer = train.DiffEEGTrainer(model, cfg,
+                                   ckpt_dir=f"{args.ckpt_dir}/diffeeg",
+                                   seed=args.seed)
+    at = trainer.load()
+    if at is None:
+        if not args.demo:
+            print(f"error: no train-diffeeg checkpoint under "
+                  f"{args.ckpt_dir}/diffeeg — run train-diffeeg first")
+            return 1
+        print("no diffeeg checkpoint found; demo continues from fresh init")
+    else:
+        print(f"restored diffeeg checkpoint at step {at}")
+    n = args.n_samples or (2 if args.demo else 50)
+    out_dir = os.path.join(args.ckpt_dir, "generated")
+    os.makedirs(out_dir, exist_ok=True)
+    # sample with the EMA weights — the reference evaluates/generates from
+    # the EMA module (DiffEEG_train.py saves {step, model, ema}; the
+    # generation driver restores it, main.py:137-145)
+    ema_vars = {"params": trainer.ema.params}
+    for c in range(cfg.n_classes):
+        out = diffusion.generate_for_class_cached(
+            trainer.schedule, model, ema_vars,
+            jax.random.PRNGKey(args.seed + c), c, n_samples=n,
+            n_channels=cfg.n_channels, length=cfg.input_length,
+            n_classes=cfg.n_classes)
+        np.save(os.path.join(out_dir, f"generated_class_{c}.npy"), out)
+        print(f"class {c}: {out.shape} → generated_class_{c}.npy")
+    print(f"generated dir: {out_dir}")
     return 0
 
 

@@ -9,4 +9,5 @@ from .process import (q_sample, reverse_diffusion,  # noqa: F401
 from .ema import EMA, ema_update  # noqa: F401
 from .metrics import (compute_mmd, compute_frechet_distance,  # noqa: F401
                       pearson_correlation)
-from .generate import generate_for_class, augment_dataset_balanced  # noqa: F401
+from .generate import (generate_for_class, generate_for_class_cached,  # noqa: F401
+                       augment_dataset_balanced)

@@ -144,3 +144,62 @@ def test_cli_train_multimodal_realdata(hms_tree, tmp_path):
                "--ckpt-dir", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "multimodal").exists()
+
+
+@pytest.mark.slow
+def test_cli_diffeeg_lifecycle(hms_tree, tmp_path):
+    """The reference's headline DiffEEG purpose, end-to-end on the schema
+    tree: train-diffeeg → generate (restores the trained checkpoint, EMA
+    weights) → train-wavenet --augment-dir (balanced merge + retrain) —
+    main.py:125-157 + DiffEEG_utils.py:291-370 + main_2.py:295-343."""
+    ov = [f"paths.data_root={hms_tree}",
+          "diffeeg.gradient_accumulate_every=2",
+          "diffeeg.n_diffusion_steps=10",
+          "diffeeg.hidden_channels=8",
+          "diffeeg.evaluate_every=1000",
+          "diffeeg.save_and_sample_every=2",
+          "diffeeg.step_start_ema=0",
+          "diffeeg.update_ema_every=1"]
+    sets = sum((["--set", o] for o in ov), [])
+    rc = main(["train-diffeeg", *sets, "--epochs", "2", "--batch-size", "2",
+               "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    rc = main(["generate", *sets, "--n-samples", "2",
+               "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    gen_dir = tmp_path / "generated"
+    arrs = {c: np.load(gen_dir / f"generated_class_{c}.npy")
+            for c in range(6)}
+    for a in arrs.values():
+        assert a.shape == (2, 19, 2000)
+        assert np.isfinite(a).all()
+
+    # generation used the EMA params (not the raw online params):
+    # reconstruct class-0 sampling from the restored checkpoint both ways
+    import jax
+    from multimodal_brain_pattern_identification_xai_tpu import (
+        diffusion, models, train)
+    cfg = C.load_config(None, ov).diffeeg
+    model = models.DiffEEG(n_channels=cfg.n_channels,
+                           hidden=cfg.hidden_channels)
+    tr = train.DiffEEGTrainer(model, cfg, ckpt_dir=str(tmp_path / "diffeeg"),
+                              seed=42)
+    assert tr.load() is not None
+    kw = dict(n_samples=2, n_channels=cfg.n_channels, length=cfg.input_length)
+    ema_out = diffusion.generate_for_class_cached(
+        tr.schedule, model, {"params": tr.ema.params},
+        jax.random.PRNGKey(42), 0, **kw)
+    raw_out = diffusion.generate_for_class_cached(
+        tr.schedule, model, {"params": tr.state.params},
+        jax.random.PRNGKey(42), 0, **kw)
+    np.testing.assert_array_equal(arrs[0], ema_out)
+    assert not np.array_equal(arrs[0], raw_out)
+
+    # augmented retrain consumes the generated pools (main_2.py:295-343)
+    rc = main(["train-wavenet", "--set", f"paths.data_root={hms_tree}",
+               "--set", "n_folds=2", "--one-fold", "--epochs", "1",
+               "--batch-size", "4", "--augment-dir", str(gen_dir),
+               "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    oof = np.load(tmp_path / "oof.npy")
+    assert len(oof) > 8                      # synthetic rows joined the CV
