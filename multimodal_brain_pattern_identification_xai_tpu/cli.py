@@ -7,10 +7,15 @@ Subcommands::
     python -m multimodal_brain_pattern_identification_xai_tpu <cmd> [...]
 
     cache-build       sweep eeg parquets into the npz window cache
-    train-wavenet     GroupKFold CV of DilatedInceptionWaveNet (main_2.py)
-    train-multimodal  multimodal EEG+spectrogram training (notebook §3.4)
+    train-wavenet     GroupKFold CV of DilatedInceptionWaveNet (main_2.py);
+                      --augment-dir merges generated EEG pools first
+    train-multimodal  multimodal EEG+spectrogram training (notebook §3.4);
+                      --init-from grafts pretrained branch checkpoints
+    train-eeg         EEG-branch pretraining (training.py:12-109)
+    train-spectrogram spectrogram-branch pretraining (training.py:135-228)
     train-diffeeg     DiffEEG diffusion training (DiffEEG_train.py)
-    generate          class-conditional EEG generation
+    generate          class-conditional EEG generation from the trained
+                      EMA checkpoint
     xai               saliency/IG/SHAP/Grad-CAM/LIME report on a checkpoint
     bench             the windows/sec/chip benchmark
 
@@ -57,6 +62,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="directory of generated_class_{c}.npy files; "
                         "balanced-merge them into the training set before "
                         "training (augment_dataset_balanced)")
+    p.add_argument("--init-from", default=None,
+                   help="ckpt root holding train-eeg / train-spectrogram "
+                        "branch checkpoints to initialize the multimodal "
+                        "model from")
     p.add_argument("--lime-every", type=int, default=0,
                    help="per-epoch LIME snapshot interval (0 = off; "
                         "--demo defaults to 1)")
@@ -177,20 +186,16 @@ def cmd_train_wavenet(args) -> int:
     return 0
 
 
-def cmd_train_multimodal(args) -> int:
-    """Multimodal EEG+spectrogram training (XAI_Multimodality.py §3.4):
-    StratifiedKFold on expert consensus → raw host batches → one fused
-    on-device preprocess per batch → MixUp/CoarseDropout augmentation →
-    late-fusion training with optional per-epoch LIME snapshots."""
-    import itertools
+def _multimodal_data(args, cfg):
+    """Demo-or-real data plumbing shared by ``train-multimodal`` and the
+    branch-pretraining commands: returns ``(sig, raw_batches, tr_idx,
+    va_idx, eeg_kwargs)`` where ``raw_batches(idx, bs, shuffle)`` yields
+    raw {"eeg", "spec", "y"} host batches (fold 0 of the notebook's
+    StratifiedKFold, XAI_Multimodality.py:539-571)."""
+    from . import config as C, data, train
 
-    import jax
-    import jax.numpy as jnp
-    from . import config as C, data, models, ops, train, xai
-
-    cfg = _load_cfg(args)
     rng = np.random.default_rng(args.seed)
-
+    epoch = itertools.count()                # fresh permutation per epoch
     if args.demo:
         n = 24
         sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
@@ -198,10 +203,7 @@ def cmd_train_multimodal(args) -> int:
         raw_spec = data.synthetic_raw_spectrogram(n, rng, shape=(80, 60))
         y = np.eye(6, dtype=np.float32)[np.arange(n) % 6]
         tr_idx = va_idx = np.arange(n)
-        eeg_model = models.EEGNetAttentionRegularized(samples=600,
-                                                      kern_length=16)
-
-        epoch = itertools.count()            # fresh permutation per epoch
+        eeg_kwargs = dict(samples=600, kern_length=16)
 
         def raw_batches(idx, bs, shuffle):
             return data.batch_iterator(
@@ -218,17 +220,35 @@ def cmd_train_multimodal(args) -> int:
         splits = train.stratified_kfold(labels, n_splits=cfg.n_folds,
                                         seed=args.seed)
         tr_idx, va_idx = splits[0]          # notebook trains fold 0
-        eeg_model = models.EEGNetAttentionRegularized()
+        eeg_kwargs = {}
         print(f"fold 0: {len(tr_idx)} train / {len(va_idx)} val rows")
-
-        epoch = itertools.count()            # fresh permutation per epoch
 
         def raw_batches(idx, bs, shuffle):
             return src.batches(idx, bs, shuffle=shuffle,
                                seed=args.seed + (next(epoch) if shuffle
                                                  else 0),
                                drop_last=shuffle)
+    return sig, raw_batches, tr_idx, va_idx, eeg_kwargs
 
+
+def cmd_train_multimodal(args) -> int:
+    """Multimodal EEG+spectrogram training (XAI_Multimodality.py §3.4):
+    StratifiedKFold on expert consensus → raw host batches → one fused
+    on-device preprocess per batch → MixUp/CoarseDropout augmentation →
+    late-fusion training with optional per-epoch LIME snapshots.
+
+    ``--init-from DIR`` grafts pretrained branch checkpoints
+    (``train-eeg`` / ``train-spectrogram`` output under DIR) into the
+    fusion model before training — the notebook's standalone-then-combined
+    workflow (XAI_Multimodality.py:1319-1536 → 1579-1681)."""
+    import jax
+    import jax.numpy as jnp
+    from . import config as C, data, models, ops, train, xai
+
+    cfg = _load_cfg(args)
+    sig, raw_batches, tr_idx, va_idx, eeg_kwargs = _multimodal_data(args,
+                                                                    cfg)
+    eeg_model = models.EEGNetAttentionRegularized(**eeg_kwargs)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
     pp = jax.jit(lambda e, s: ops.preprocess_multimodal(e, s, signal=sig))
     aug = jax.jit(ops.spectrogram_augment)
@@ -271,6 +291,9 @@ def cmd_train_multimodal(args) -> int:
     state = train.create_train_state(
         mm, (first["eeg"][:2], first["spec"][:2]), tx,
         jax.random.PRNGKey(args.seed))
+    if args.init_from:
+        state = _init_from_branches(state, mm, first, args.init_from,
+                                    cfg.trainer.lr)
 
     callbacks = []
     lime_every = args.lime_every or (1 if args.demo else 0)
@@ -293,6 +316,104 @@ def cmd_train_multimodal(args) -> int:
     if lime_every:
         print(f"lime snapshots: {len(callbacks[0].results)}")
     return 0
+
+
+def _init_from_branches(state, mm, first, init_dir: str, lr: float):
+    """Graft pretrained branch params/BN-stats into the multimodal state —
+    the checkpoint handoff from the notebook's standalone EEG/spectrogram
+    runs into combined training (XAI_Multimodality.py:1319-1536 feed
+    :1579-1681)."""
+    import jax
+    from . import train
+
+    new_params = dict(state.params)
+    new_bn = (dict(state.batch_stats) if state.batch_stats is not None
+              else None)
+    for which, sub, sample in (
+            ("eeg", "eeg_model", first["eeg"][:2]),
+            ("spectrogram", "spectrogram_model", first["spec"][:2])):
+        ckpt_dir = os.path.join(init_dir, which)
+        if not os.path.isdir(ckpt_dir):
+            print(f"warning: no {which} branch checkpoint under {init_dir}")
+            continue
+        bmodel = mm.eeg_model if which == "eeg" else mm.spectrogram_model
+        bstate = train.create_train_state(
+            bmodel, (sample,), train.state.make_optimizer(lr),
+            jax.random.PRNGKey(0))
+        bstate = train.CheckpointManager(ckpt_dir).load_best(bstate)
+        new_params[sub] = bstate.params
+        if new_bn is not None and bstate.batch_stats is not None:
+            new_bn[sub] = bstate.batch_stats
+        print(f"initialized {which} branch from {ckpt_dir}")
+    return state.replace(params=new_params, batch_stats=new_bn)
+
+
+def _train_branch(args, which: str) -> int:
+    """Shared driver for the branch-pretraining commands (reference
+    ``train_and_validate_eeg`` training.py:12-109 /
+    ``train_spectrogram_model`` :135-228; notebook standalone runs
+    XAI_Multimodality.py:1319-1427 and :1439-1536 — the ~44% / ~33%
+    accuracy anchors of BASELINE.md): train ONE modality's model alone,
+    checkpointing under ``<ckpt-dir>/<which>`` for the
+    ``train-multimodal --init-from`` handoff."""
+    import jax
+    import jax.numpy as jnp
+    from . import config as C, data, models, ops, train, utils
+
+    cfg = _load_cfg(args)
+    sig, raw_batches, tr_idx, va_idx, eeg_kwargs = _multimodal_data(args,
+                                                                    cfg)
+    bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
+    if which == "eeg":
+        model = models.EEGNetAttentionRegularized(**eeg_kwargs)
+        pp = jax.jit(lambda e: ops.hms_eeg_preprocess(e, signal=sig))
+        mirror = jax.jit(ops.mirror_eeg)
+        key_name = "eeg"
+    else:
+        model = models.SpectrogramCNN()
+        pp = jax.jit(lambda s: ops.hms_spectrogram_preprocess(s, signal=sig))
+        key_name = "spec"
+
+    def train_iter():
+        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True)):
+            raw = batch[key_name]
+            if which == "eeg" and cfg.augment:
+                raw = mirror(raw)            # CFG.AUGMENT hemisphere swap
+            yield {"x": pp(raw), "y": batch["y"]}
+
+    def val_iter():
+        for batch in data.prefetch_to_device(raw_batches(va_idx, bs,
+                                                         False)):
+            yield {"x": pp(batch[key_name]), "y": batch["y"]}
+
+    fb = next(raw_batches(va_idx, bs, False))
+    first_x = pp(jnp.asarray(fb[key_name]))
+    state = train.create_train_state(
+        model, (first_x[:2],), train.state.make_optimizer(cfg.trainer.lr),
+        jax.random.PRNGKey(args.seed))
+    # the notebook's branch runs add a manual L2 term (λ=1e-3 through the
+    # model's weight_decay attr, XAI_Multimodality.py:1355-1366) and steer
+    # the LR with ReduceLROnPlateau (:1340)
+    tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed,
+                             resume=args.resume, l2_lambda=1e-3,
+                             plateau=train.ReduceLROnPlateau(
+                                 cfg.trainer.lr))
+    trainer = train.Trainer(state, tc, ckpt_dir=f"{args.ckpt_dir}/{which}")
+    _, best, _ = trainer.train_eval(train_iter, val_iter)
+    p = utils.plot_training_curves(trainer.history, args.ckpt_dir,
+                                   f"{which}_training_curves")
+    print(f"{which} branch best kldiv: {best:.4f}; curves: {p}")
+    return 0
+
+
+def cmd_train_eeg(args) -> int:
+    """EEG-branch pretraining (training.py:12-109, notebook :1319-1427)."""
+    return _train_branch(args, "eeg")
+
+
+def cmd_train_spectrogram(args) -> int:
+    """Spectrogram-branch pretraining (training.py:135-228, :1439-1536)."""
+    return _train_branch(args, "spectrogram")
 
 
 def cmd_train_diffeeg(args) -> int:
@@ -653,6 +774,8 @@ def cmd_bench(args) -> int:
 COMMANDS = {
     "train-wavenet": cmd_train_wavenet,
     "train-multimodal": cmd_train_multimodal,
+    "train-eeg": cmd_train_eeg,
+    "train-spectrogram": cmd_train_spectrogram,
     "train-diffeeg": cmd_train_diffeeg,
     "generate": cmd_generate,
     "xai": cmd_xai,

@@ -203,3 +203,53 @@ def test_cli_diffeeg_lifecycle(hms_tree, tmp_path):
     assert rc == 0
     oof = np.load(tmp_path / "oof.npy")
     assert len(oof) > 8                      # synthetic rows joined the CV
+
+
+@pytest.mark.slow
+def test_cli_branch_pretraining_handoff(hms_tree, tmp_path, capsys):
+    """Branch pretraining workflow (training.py:12-109/:135-228, notebook
+    :1319-1536): train-eeg + train-spectrogram produce branch checkpoints;
+    train-multimodal --init-from grafts them — the grafted subtrees equal
+    the branch best checkpoints exactly."""
+    common = ["--set", f"paths.data_root={hms_tree}", "--set", "n_folds=2",
+              "--epochs", "1", "--batch-size", "4",
+              "--ckpt-dir", str(tmp_path)]
+    assert main(["train-eeg", *common]) == 0
+    assert main(["train-spectrogram", *common]) == 0
+    assert (tmp_path / "eeg").is_dir() and (tmp_path / "spectrogram").is_dir()
+
+    assert main(["train-multimodal", *common,
+                 "--init-from", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "initialized eeg branch from" in out
+    assert "initialized spectrogram branch from" in out
+
+    # pin: the graft copies the branch best params verbatim
+    import jax
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import (
+        models, ops, train)
+    from multimodal_brain_pattern_identification_xai_tpu.cli import (
+        _init_from_branches)
+    cfg = C.load_config(None, [f"paths.data_root={hms_tree}"])
+    rng = np.random.default_rng(0)
+    eeg_in, spec_in = ops.preprocess_multimodal(
+        jnp.asarray(rng.standard_normal((2, 20, 10_000)), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 400, 300)), jnp.float32))
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(),
+        spectrogram_model=models.SpectrogramCNN())
+    state = train.create_train_state(
+        mm, (eeg_in, spec_in), train.state.make_optimizer(cfg.trainer.lr),
+        jax.random.PRNGKey(1))
+    grafted = _init_from_branches(
+        state, mm, {"eeg": eeg_in, "spec": spec_in}, str(tmp_path),
+        cfg.trainer.lr)
+    bmodel = models.EEGNetAttentionRegularized()
+    bstate = train.create_train_state(
+        bmodel, (eeg_in,), train.state.make_optimizer(cfg.trainer.lr),
+        jax.random.PRNGKey(0))
+    bstate = train.CheckpointManager(str(tmp_path / "eeg")).load_best(bstate)
+    for a, b in zip(jax.tree_util.tree_leaves(grafted.params["eeg_model"]),
+                    jax.tree_util.tree_leaves(bstate.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
