@@ -66,6 +66,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="ckpt root holding train-eeg / train-spectrogram "
                         "branch checkpoints to initialize the multimodal "
                         "model from")
+    p.add_argument("--channel-retrain", type=int, default=0,
+                   help="xai: retrain a binary classifier on the top-N "
+                        "SHAP channels (0 = off)")
+    p.add_argument("--channel-class", type=int, default=0,
+                   help="xai: positive class for --channel-retrain")
     p.add_argument("--lime-every", type=int, default=0,
                    help="per-epoch LIME snapshot interval (0 = off; "
                         "--demo defaults to 1)")
@@ -574,6 +579,8 @@ def cmd_xai(args) -> int:
         eeg_bg, _ = ops.preprocess_multimodal(
             bg_raw, data.synthetic_raw_spectrogram(32, rng, shape=(80, 60)),
             signal=sig)
+        y_in = np.eye(6, dtype=np.float32)[np.arange(8) % 6]
+        y_bg = np.eye(6, dtype=np.float32)[np.arange(32) % 6]
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(samples=600,
                                                         kern_length=16),
@@ -600,6 +607,7 @@ def cmd_xai(args) -> int:
         bg = src.gather(np.asarray(bg_rows))
         eeg_bg, _ = ops.preprocess_multimodal(
             jnp.asarray(bg["eeg"]), jnp.asarray(bg["spec"]))
+        y_in, y_bg = batch["y"], bg["y"]
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(),
             spectrogram_model=models.SpectrogramCNN())
@@ -632,6 +640,27 @@ def cmd_xai(args) -> int:
     idx, scores = xai.get_top_n_channels(np.asarray(shap_vals), n=10)
     names = xai.channel_select.channel_names_37()
     print("top-10 channels:", [names[i] for i in idx])
+
+    if args.channel_retrain:
+        # SHAP-driven channel-selection retraining
+        # (XAI_Multimodality.py:2467-2587)
+        eeg_all = np.concatenate([np.asarray(eeg_in), np.asarray(eeg_bg)])
+        y_all = np.concatenate([np.asarray(y_in), np.asarray(y_bg)])
+        rep = xai.retrain_on_top_channels(
+            eeg_all, y_all, np.asarray(shap_vals),
+            n_channels=args.channel_retrain,
+            positive_class=args.channel_class,
+            epochs=args.epochs or 2,
+            batch_size=args.batch_size or 8, seed=args.seed,
+            model_kwargs=dict(samples=int(eeg_in.shape[-1]),
+                              kern_length=16 if args.demo else 64))
+        print(f"channel-retrain: top-{args.channel_retrain} channels "
+              f"{[names[i] for i in rep['top_channels']]} "
+              f"(class {rep['positive_class']} one-vs-rest): "
+              f"fresh kldiv {rep['fresh']['kldiv']:.4f} / "
+              f"acc {rep['fresh']['accuracy']:.3f} → retrained "
+              f"{rep['retrained']['kldiv']:.4f} / "
+              f"acc {rep['retrained']['accuracy']:.3f}")
 
     def predict(batch_hwc):
         spec = jnp.asarray(batch_hwc).transpose(0, 3, 1, 2)

@@ -21,7 +21,8 @@ from .gradcam import grad_cam  # noqa: F401
 from .lime import slic_segments, lime_explain  # noqa: F401
 from .rollout import attention_rollout  # noqa: F401
 from .channel_select import (get_top_n_channels,  # noqa: F401
-                             restructure_to_top_channels)
+                             restructure_to_top_channels,
+                             retrain_on_top_channels)
 from . import callbacks, channel_select, rollout, shap_plots, sharded  # noqa: F401
 from .callbacks import LimeEpochSnapshot  # noqa: F401
 from .sharded import (sharded_integrated_gradients,  # noqa: F401

@@ -111,10 +111,12 @@ def test_cli_xai_realdata(hms_tree, tmp_path, capsys):
                "--ckpt-dir", str(tmp_path)])
     assert rc == 0
     rc = main(["xai", "--set", f"paths.data_root={hms_tree}",
-               "--limit", "4", "--ckpt-dir", str(tmp_path)])
+               "--limit", "4", "--channel-retrain", "5", "--epochs", "1",
+               "--ckpt-dir", str(tmp_path)])
     assert rc == 0
     out = capsys.readouterr().out
     assert "restored best multimodal checkpoint" in out
+    assert "channel-retrain: top-5 channels" in out
     import os
     pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
     assert any("eeg_saliency" in f for f in pngs)
