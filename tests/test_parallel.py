@@ -180,3 +180,44 @@ def test_seq_parallel_attention_exact(rng):
     got = fn(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_multimodal_dp_step_on_mesh(rng):
+    """The flagship multimodal pipeline (batch-sharded fused preprocess →
+    late-fusion DP train step) under a multi-axis mesh — what
+    __graft_entry__'s multichip dryrun runs: finite loss, both branch
+    subtrees updated, depthwise gradient not zeroed by the partitioner."""
+    from multimodal_brain_pattern_identification_xai_tpu import ops
+
+    sig = C.SignalConfig(fixed_length=512, image_size=(64, 48))
+    raw_eeg = (rng.standard_normal((8, 20, 2000)) * 40).astype(np.float32)
+    raw_spec = (rng.standard_normal((8, 64, 48)) * 5).astype(np.float32)
+    mesh = parallel.make_mesh(C.MeshConfig(data=4, model=2, seq=1))
+    raw = parallel.shard_batch(mesh, {"eeg": raw_eeg, "spec": raw_spec})
+    eeg_in, spec_in = jax.jit(
+        lambda e, s: ops.preprocess_multimodal(e, s, signal=sig))(
+            raw["eeg"], raw["spec"])
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(samples=512,
+                                                    kern_length=16),
+        spectrogram_model=models.SpectrogramCNN())
+    state = train.create_train_state(mm, (eeg_in[:2], spec_in[:2]),
+                                     train.state.make_optimizer(1e-3),
+                                     jax.random.PRNGKey(0))
+    step = parallel.make_parallel_train_step(mesh, state, donate=False)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 8)]
+    batch = parallel.shard_batch(mesh, {"eeg": np.asarray(eeg_in),
+                                        "spec": np.asarray(spec_in),
+                                        "y": y})
+    new_state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    for sub in ("eeg_model", "spectrogram_model"):
+        before = jax.tree_util.tree_leaves(state.params[sub])
+        after = jax.tree_util.tree_leaves(new_state.params[sub])
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(after, before))
+    dw = np.asarray(
+        new_state.params["eeg_model"]["stem"]["depthwiseConv_kernel"]
+        - state.params["eeg_model"]["stem"]["depthwiseConv_kernel"])
+    assert np.abs(dw).max() > 0
