@@ -98,38 +98,10 @@ def test_torch_eegnet_import_logit_parity(rng):
     applied in eval mode, must reproduce the torch eval forward's log-probs
     (VERDICT item: carry reference-trained weights for fidelity checks)."""
     torch = __import__("torch")
-    F = torch.nn.functional
-    g = torch.Generator().manual_seed(0)
-    rn = lambda *s: torch.randn(*s, generator=g) * 0.3
+    from torch_ref import make_torch_eegnet
     f1, d, f2, chans, samples = 8, 2, 16, 37, 480
-    sd = {
-        "conv1.weight": rn(f1, 1, 1, 64),
-        "depthwiseConv.weight": rn(f1 * d, 1, chans, 1),
-        "separableConv.weight": rn(f2, f1 * d, 1, 16),
-        "dense.weight": rn(6, f2 * (samples // 32)),
-        "dense.bias": rn(6),
-    }
-    for bn, c in (("batchnorm1", f1), ("batchnorm2", f1 * d),
-                  ("batchnorm3", f2)):
-        sd[f"{bn}.weight"] = rn(c)
-        sd[f"{bn}.bias"] = rn(c)
-        sd[f"{bn}.running_mean"] = rn(c) * 0.1
-        sd[f"{bn}.running_var"] = torch.rand(c, generator=g) + 0.5
-
-    def torch_forward(x):
-        bn = lambda t, n: F.batch_norm(
-            t, sd[f"{n}.running_mean"], sd[f"{n}.running_var"],
-            sd[f"{n}.weight"], sd[f"{n}.bias"], training=False, eps=1e-5)
-        x = bn(F.conv2d(x, sd["conv1.weight"], padding="same"), "batchnorm1")
-        x = bn(F.conv2d(x, sd["depthwiseConv.weight"], groups=f1),
-               "batchnorm2")
-        x = F.avg_pool2d(F.elu(x), (1, 4))
-        x = bn(F.conv2d(x, sd["separableConv.weight"], padding="same"),
-               "batchnorm3")
-        x = F.avg_pool2d(F.elu(x), (1, 8))
-        x = F.linear(x.flatten(1), sd["dense.weight"], sd["dense.bias"])
-        return F.log_softmax(x, dim=1)
-
+    sd, torch_forward = make_torch_eegnet(seed=0, f1=f1, d=d, f2=f2,
+                                          chans=chans, samples=samples)
     model = models.EEGNet(samples=samples)
     x = rng.standard_normal((3, 1, chans, samples)).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))

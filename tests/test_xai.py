@@ -169,3 +169,73 @@ def test_retrain_on_top_channels_improves_over_fresh(rng):
         seed=0, model_kwargs=dict(samples=T, kern_length=8))
     assert sorted(rep["top_channels"]) == [2, 5]
     assert rep["retrained"]["kldiv"] < rep["fresh"]["kldiv"]
+
+
+@pytest.fixture(scope="module")
+def imported_eegnet():
+    """Torch EEGNet (fabricated reference weights) + the same network
+    imported into JAX — the attribution-fidelity ground truth pair."""
+    from torch_ref import make_torch_eegnet
+    f1, d, samples = 8, 2, 480
+    sd, torch_forward = make_torch_eegnet(seed=0, f1=f1, d=d,
+                                          samples=samples)
+    model = models.EEGNet(samples=samples)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 1, 37, samples)))
+    v2 = models.load_torch_eegnet_state_dict(sd, variables, f1=f1, d=d)
+    fwd = jax.jit(lambda xx: model.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]}, xx))
+    return torch_forward, fwd, samples
+
+
+def test_saliency_matches_torch_autograd(imported_eegnet, rng):
+    """North-star attribution fidelity: |∂ max-logit/∂x| on an imported
+    checkpoint matches torch autograd ground truth to fp32 tolerance
+    (reference generate_saliency_maps, XAI_Multimodality.py:3056-3153)."""
+    torch = __import__("torch")
+    torch_forward, fwd, samples = imported_eegnet
+    x = rng.standard_normal((3, 1, 37, samples)).astype(np.float32)
+
+    got = np.asarray(xai.saliency_maps(fwd, jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    out = torch_forward(xt)
+    out.max(dim=1).values.sum().backward()
+    want = xt.grad.abs().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+    assert np.abs(want).max() > 0
+
+
+def test_integrated_gradients_match_torch(imported_eegnet, rng):
+    """IG (midpoint Riemann, zeros baseline) on the imported checkpoint
+    matches a manual torch-autograd IG with identical quadrature — the
+    captum IntegratedGradients intent (XAI_Multimodality.py:51)."""
+    torch = __import__("torch")
+    torch_forward, fwd, samples = imported_eegnet
+    x = rng.standard_normal((2, 1, 37, samples)).astype(np.float32)
+    steps = 16
+
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        target = torch_forward(xt).argmax(dim=1)
+
+    got = np.asarray(xai.integrated_gradients(
+        fwd, jnp.asarray(x), target=jnp.asarray(target.numpy()),
+        steps=steps))
+
+    grads = torch.zeros_like(xt)
+    for k in range(steps):
+        alpha = (k + 0.5) / steps
+        point = (alpha * xt).clone().requires_grad_(True)
+        out = torch_forward(point)
+        out.gather(1, target[:, None]).sum().backward()
+        grads += point.grad
+    want = (xt * grads / steps).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+    # completeness vs torch end-point scores (IG axiom on the same pair)
+    with torch.no_grad():
+        fx = torch_forward(xt).gather(1, target[:, None])[:, 0].numpy()
+        f0 = torch_forward(torch.zeros_like(xt)).gather(
+            1, target[:, None])[:, 0].numpy()
+    np.testing.assert_allclose(got.reshape(len(x), -1).sum(1), fx - f0,
+                               rtol=0.05, atol=0.05)
