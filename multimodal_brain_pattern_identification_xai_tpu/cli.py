@@ -475,10 +475,26 @@ def cmd_train_diffeeg(args) -> int:
         perm = rng.permutation(len(x))
         va, tr = perm[:n_val], perm[n_val:]
 
-        def batches():
-            while True:
-                i = rng.choice(tr, size=cfg.batch_size)
-                yield x[i], y[i]
+        if len(tr) >= cfg.batch_size:
+            # epoch-shuffled micro-batches off the C++ ring queue (the
+            # reference's DataLoader restart-on-StopIteration loop,
+            # DiffEEG_train.py:122-126); numpy fallback without g++
+            from . import runtime
+            xtr = np.ascontiguousarray(x[tr])
+            ytr = np.ascontiguousarray(y[tr])
+
+            def batches():
+                for ep in itertools.count():
+                    q = runtime.NativeBatchQueue(
+                        xtr, ytr, cfg.batch_size, shuffle=True,
+                        seed=args.seed + ep, n_workers=2)
+                    for b in q:
+                        yield b["x"], b["y"]
+        else:
+            def batches():
+                while True:
+                    i = rng.choice(tr, size=cfg.batch_size)
+                    yield x[i], y[i]
 
         val = [(x[va[s:s + cfg.batch_size]], y[va[s:s + cfg.batch_size]])
                for s in range(0, min(len(va), 4 * cfg.batch_size),

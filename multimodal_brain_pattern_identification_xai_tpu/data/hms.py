@@ -22,7 +22,7 @@ from typing import Dict, Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 from .. import config as C
-from .loader import (EEGRecordCache, crop_spectrogram, load_eeg_parquet,
+from .loader import (EEGRecordCache, load_eeg_parquet,
                      load_spectrogram_parquet, load_train_metadata)
 
 logger = logging.getLogger(__name__)
@@ -179,32 +179,68 @@ class MultimodalSource:
     the CombinedDataset contract (XAI_Multimodality.py:1114-1307) with
     label consistency by construction.  Batches stay raw; the device does
     the DSP (``ops.preprocess_multimodal``).
+
+    Construction builds RESIDENT float32 stores (a stacked EEG window
+    array + a concatenated ragged spectrogram buffer) and per-row index /
+    crop-start arrays once; ``gather`` is then one call into the C++
+    runtime (``runtime.gather_multimodal``: threaded strided copy + crop/
+    transpose/pad) with a vectorized-numpy fallback — no per-batch pandas
+    iteration on the hot path.
     """
 
     def __init__(self, meta, eeg_cache: EEGRecordCache,
                  spec_store: SpectrogramStore,
-                 spec_width: int = 300):
+                 spec_width: int = 300, n_threads: int = 4):
+        from ..runtime import gather_multimodal
+        self._gather_native = gather_multimodal
         self.meta = meta.reset_index(drop=True)
-        self.eeg_cache = eeg_cache
-        self.spec_store = spec_store
         self.spec_width = spec_width
+        self.n_threads = n_threads
         self.y = onehot_consensus(self.meta["expert_consensus"])
+
+        eeg_ids = self.meta["eeg_id"].to_numpy(np.int64)
+        uniq_eeg, eeg_row2u = np.unique(eeg_ids, return_inverse=True)
+        self._eeg_stack = np.stack(
+            [np.ascontiguousarray(eeg_cache[e].T) for e in uniq_eeg]
+        ).astype(np.float32, copy=False)                 # (U, 20, 10000)
+        self._eeg_row2u = eeg_row2u.astype(np.int64)
+
+        spec_ids = self.meta["spectrogram_id"].to_numpy(np.int64)
+        uniq_spec, spec_row2u = np.unique(spec_ids, return_inverse=True)
+        planes = [np.asarray(spec_store[s], np.float32) for s in uniq_spec]
+        lens = np.asarray([p.shape[0] for p in planes], np.int64)
+        self._spec_buf = (np.concatenate(planes, axis=0) if planes
+                          else np.zeros((0, 400), np.float32))
+        self._spec_off = (np.concatenate([[0], np.cumsum(lens)[:-1]])
+                          .astype(np.int64) if len(lens)
+                          else np.zeros(0, np.int64))
+        self._spec_len = lens
+        self._spec_row2u = spec_row2u.astype(np.int64)
+
+        # per-row crop start, exactly crop_spectrogram's semantics
+        # (offset//2 when present and within the plane, else 0)
+        col = "spectrogram_label_offset_seconds"
+        if col in self.meta.columns:
+            off = self.meta[col].to_numpy(np.float64)
+        else:
+            off = np.full(len(self.meta), np.nan)
+        offi = np.floor(np.nan_to_num(off, nan=0.0)).astype(np.int64) // 2
+        rows_per = lens[self._spec_row2u]
+        self._crop_start = np.where(~np.isnan(off) & (rows_per >= offi),
+                                    offi, 0).astype(np.int64)
 
     def __len__(self) -> int:
         return len(self.meta)
 
     def gather(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
-        """Assemble one raw batch for the given row indices."""
-        eeg = np.stack([self.eeg_cache[e].T                  # (20, 10000)
-                        for e in self.meta["eeg_id"].iloc[rows]])
-        specs = []
-        for _, row in self.meta.iloc[rows].iterrows():
-            raw = self.spec_store[row["spectrogram_id"]]
-            off = row.get("spectrogram_label_offset_seconds", None)
-            specs.append(crop_spectrogram(
-                raw, None if off is None or np.isnan(off) else float(off),
-                width=self.spec_width))
-        return {"eeg": eeg, "spec": np.stack(specs), "y": self.y[rows]}
+        """Assemble one raw batch for the given row indices (native)."""
+        rows = np.asarray(rows, np.int64)
+        eeg, spec = self._gather_native(
+            self._eeg_stack, self._eeg_row2u[rows], self._spec_buf,
+            self._spec_off, self._spec_len, self._spec_row2u[rows],
+            self._crop_start[rows], width=self.spec_width,
+            n_threads=self.n_threads)
+        return {"eeg": eeg, "spec": spec, "y": self.y[rows]}
 
     def batches(self, rows: np.ndarray, batch_size: int,
                 shuffle: bool = False, seed: int = 0,

@@ -7,4 +7,4 @@ native path.
 """
 
 from .loader import (native_available, gather_windows,  # noqa: F401
-                     NativeBatchQueue)
+                     gather_multimodal, NativeBatchQueue)

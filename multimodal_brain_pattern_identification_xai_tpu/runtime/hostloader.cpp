@@ -85,6 +85,67 @@ void gather_windows(const float* src, const int64_t* idx, float* out,
 }
 
 // ---------------------------------------------------------------------------
+// gather_multimodal: assemble one combined EEG+spectrogram batch.
+//
+// EEG side: eeg_out[i] = eeg_src[eeg_idx[i]] (windows are NaN-repaired at
+// cache-build time, so this is a straight strided copy).
+// Spectrogram side: per batch row, crop `width` time-rows out of the ragged
+// spectrogram store starting at crop_start[i], transpose to (freq, time)
+// and zero-pad the tail — the host half of the reference's
+// HMS_Spectrogram_Dataset offset crop (XAI_Multimodality.py:713-726).
+//
+//   eeg_src:    (n_eeg, channels, length) float32, resident
+//   spec_buf:   concatenated ragged (rows_i, n_freq) planes, time-major
+//   spec_off:   (n_spec,) start row of each plane in spec_buf
+//   spec_len:   (n_spec,) row count of each plane
+//   spec_idx:   (batch,) plane index per batch row
+//   crop_start: (batch,) first time-row of the crop (pre-clamped)
+//   spec_out:   (batch, n_freq, width) float32
+// ---------------------------------------------------------------------------
+void gather_multimodal(const float* eeg_src, const int64_t* eeg_idx,
+                       const float* spec_buf, const int64_t* spec_off,
+                       const int64_t* spec_len, const int64_t* spec_idx,
+                       const int64_t* crop_start,
+                       float* eeg_out, float* spec_out,
+                       int64_t batch, int64_t channels, int64_t length,
+                       int64_t n_freq, int64_t width, int n_threads) {
+  const int64_t eeg_stride = channels * length;
+  const int64_t spec_stride = n_freq * width;
+  auto work = [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      std::memcpy(eeg_out + i * eeg_stride,
+                  eeg_src + eeg_idx[i] * eeg_stride,
+                  sizeof(float) * eeg_stride);
+      const int64_t s = spec_idx[i];
+      const float* plane = spec_buf + spec_off[s] * n_freq;  // (rows, F)
+      const int64_t rows = spec_len[s];
+      const int64_t start = crop_start[i];
+      const int64_t avail =
+          rows > start ? std::min(width, rows - start) : 0;
+      float* dst = spec_out + i * spec_stride;               // (F, W)
+      if (avail < width)
+        std::memset(dst, 0, sizeof(float) * spec_stride);
+      for (int64_t t = 0; t < avail; ++t) {
+        const float* row = plane + (start + t) * n_freq;
+        for (int64_t f = 0; f < n_freq; ++f) dst[f * width + t] = row[f];
+      }
+    }
+  };
+  if (n_threads <= 1 || batch < 2) {
+    work(0, batch);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int64_t per = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t b = t * per, e = std::min(batch, b + per);
+    if (b >= e) break;
+    pool.emplace_back(work, b, e);
+  }
+  for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
 // BatchQueue: background batch assembly with a bounded ring.
 // ---------------------------------------------------------------------------
 struct BatchQueue {

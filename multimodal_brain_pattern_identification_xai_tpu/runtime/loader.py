@@ -33,6 +33,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.gather_windows.argtypes = [f32p, i64p, f32p, ctypes.c_int64,
                                    ctypes.c_int64, ctypes.c_int64,
                                    ctypes.c_int]
+    lib.gather_multimodal.argtypes = [f32p, i64p, f32p, i64p, i64p, i64p,
+                                      i64p, f32p, f32p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int]
     lib.bq_create.restype = ctypes.c_void_p
     lib.bq_create.argtypes = [f32p, f32p, i64p, ctypes.c_int64,
                               ctypes.c_int64, ctypes.c_int64,
@@ -78,6 +83,50 @@ def gather_windows(src: np.ndarray, idx: np.ndarray,
     lib.gather_windows(_f32p(src), _i64p(idx), _f32p(out), B, C, T,
                        int(n_threads))
     return out
+
+
+def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
+                      spec_buf: np.ndarray, spec_off: np.ndarray,
+                      spec_len: np.ndarray, spec_idx: np.ndarray,
+                      crop_start: np.ndarray, width: int = 300,
+                      n_threads: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """Assemble one combined EEG+spectrogram raw batch from resident
+    stores (the native half of ``MultimodalSource.gather``): strided EEG
+    copy + ragged spectrogram crop/transpose/zero-pad.
+
+    ``eeg_src``: (U, C, T); ``spec_buf``: concatenated (rows_i, F) planes.
+    Returns ``(eeg (B, C, T), spec (B, F, width))``.  Numpy fallback when
+    the native library is unavailable.
+    """
+    eeg_src = np.ascontiguousarray(eeg_src, np.float32)
+    spec_buf = np.ascontiguousarray(spec_buf, np.float32)
+    eeg_idx = np.ascontiguousarray(eeg_idx, np.int64)
+    spec_off = np.ascontiguousarray(spec_off, np.int64)
+    spec_len = np.ascontiguousarray(spec_len, np.int64)
+    spec_idx = np.ascontiguousarray(spec_idx, np.int64)
+    crop_start = np.ascontiguousarray(crop_start, np.int64)
+    B = len(eeg_idx)
+    C, T = eeg_src.shape[1], eeg_src.shape[2]
+    F = spec_buf.shape[1]
+    lib = _load_lib()
+    if lib is None:
+        eeg = eeg_src[eeg_idx].copy()
+        spec = np.zeros((B, F, width), np.float32)
+        for i in range(B):
+            s = spec_idx[i]
+            plane = spec_buf[spec_off[s]:spec_off[s] + spec_len[s]]
+            start = crop_start[i]
+            avail = max(0, min(width, spec_len[s] - start))
+            if avail:
+                spec[i, :, :avail] = plane[start:start + avail].T
+        return eeg, spec
+    eeg = np.empty((B, C, T), np.float32)
+    spec = np.empty((B, F, width), np.float32)
+    lib.gather_multimodal(_f32p(eeg_src), _i64p(eeg_idx), _f32p(spec_buf),
+                          _i64p(spec_off), _i64p(spec_len), _i64p(spec_idx),
+                          _i64p(crop_start), _f32p(eeg), _f32p(spec),
+                          B, C, T, F, width, int(n_threads))
+    return eeg, spec
 
 
 class NativeBatchQueue:

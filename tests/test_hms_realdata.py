@@ -255,3 +255,26 @@ def test_cli_branch_pretraining_handoff(hms_tree, tmp_path, capsys):
     for a, b in zip(jax.tree_util.tree_leaves(grafted.params["eeg_model"]),
                     jax.tree_util.tree_leaves(bstate.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multimodal_gather_matches_reference_assembly(hms_tree, tmp_path):
+    """The native resident-store gather reproduces the original per-row
+    python assembly (cache transpose + crop_spectrogram) exactly — the
+    batch-identity pin for putting the C++ runtime on the real path."""
+    paths = C.load_config(None, [f"paths.data_root={hms_tree}"]).paths
+    src = data.multimodal_source(paths, cache_dir=str(tmp_path),
+                                 n_workers=2)
+    cache = data.build_or_load_eeg_cache(
+        os.path.join(str(tmp_path), "eeg_cache.npz"), paths.train_eegs,
+        src.meta["eeg_id"].unique(), n_workers=2)
+    store = data.SpectrogramStore(paths.train_spectr)
+    rows = np.asarray([0, 1, 5, 7, 9, 15])
+    batch = src.gather(rows)
+    for i, r in enumerate(rows):
+        eeg_ref = cache[src.meta["eeg_id"].iloc[r]].T
+        np.testing.assert_array_equal(batch["eeg"][i], eeg_ref)
+        raw = store[src.meta["spectrogram_id"].iloc[r]]
+        off = src.meta["spectrogram_label_offset_seconds"].iloc[r]
+        ref = data.crop_spectrogram(
+            raw, None if np.isnan(off) else float(off))
+        np.testing.assert_array_equal(batch["spec"][i], ref)

@@ -48,3 +48,30 @@ def test_batch_queue_multiple_epochs(rng):
     q = runtime.NativeBatchQueue(x, y, 4, shuffle=False)
     assert len(list(q)) == 4
     assert len(list(q)) == 4  # re-iterable
+
+
+def test_gather_multimodal_native_matches_fallback(monkeypatch, rng):
+    """The C++ combined gather (strided EEG copy + ragged spectrogram
+    crop/transpose/pad) is bit-identical to the numpy fallback, including
+    crop overruns past the plane end."""
+    from multimodal_brain_pattern_identification_xai_tpu.runtime import loader
+
+    eeg = rng.standard_normal((5, 3, 40)).astype(np.float32)
+    planes = [rng.standard_normal((r, 7)).astype(np.float32)
+              for r in (20, 35, 10)]
+    lens = np.array([20, 35, 10], np.int64)
+    off = np.array([0, 20, 55], np.int64)
+    buf = np.concatenate(planes)
+    eeg_idx = np.array([4, 0, 2, 2], np.int64)
+    spec_idx = np.array([0, 1, 2, 1], np.int64)
+    start = np.array([0, 30, 5, 2], np.int64)   # row 1 overruns → zero pad
+    native = runtime.gather_multimodal(eeg, eeg_idx, buf, off, lens,
+                                       spec_idx, start, width=16)
+    assert runtime.native_available()
+    monkeypatch.setattr(loader, "_load_lib", lambda: None)
+    fallback = loader.gather_multimodal(eeg, eeg_idx, buf, off, lens,
+                                        spec_idx, start, width=16)
+    for a, b in zip(native, fallback):
+        np.testing.assert_array_equal(a, b)
+    # overrun portion really is zero-padded
+    assert native[1][1, :, 5:].max() == 0.0
