@@ -136,6 +136,13 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
     xs = prep_s(raw_spec[:2])
     v = mm.init(jax.random.PRNGKey(0), xe, xs)
     v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    if os.environ.get("BENCH_PARAM_BF16", "0") == "1":
+        # bf16 PARAMS (not just activations) on the spectrogram branch —
+        # halves the weight-side HBM traffic of the wide early convs
+        import jax as _jax
+        v["params"]["spectrogram_model"] = _jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16),
+            v["params"]["spectrogram_model"])
 
     @jax.jit
     def step(re, rs):
@@ -162,6 +169,140 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
         "metric": name,
         "value": round(wps, 2), "unit": "windows/s",
         "vs_baseline": round(wps / 10_000.0, 4),
+    }))
+
+
+def bench_multimodal_breakdown() -> None:
+    """Per-stage / per-block timing + MFU artifact for the multimodal
+    pipeline (``python bench.py --multimodal --breakdown``) — the
+    reproducible version of PARITY.md's MXU-utilization ceiling analysis.
+
+    Method: a family of jitted *prefix* programs, each running the
+    pipeline up to stage k with the usual chaining perturbation; stage
+    time = t_k − t_{k−1}, so the ~2-3 ms tunnel dispatch overhead cancels
+    in the differences.  MFU uses conv MACs only (2·MAC FLOPs) against
+    the v5e bf16 peak (197 TFLOP/s).
+    """
+    import jax
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import models, ops
+    from multimodal_brain_pattern_identification_xai_tpu.models.layers \
+        import SpectrogramBlock, nchw_to_nhwc
+    from multimodal_brain_pattern_identification_xai_tpu.data import (
+        synthetic_raw_eeg, synthetic_raw_spectrogram)
+
+    B = int(os.environ.get("BENCH_BATCH", 256))
+    rng = np.random.default_rng(0)
+    raw_eeg = jnp.asarray(synthetic_raw_eeg(B, rng))
+    raw_spec = jnp.asarray(synthetic_raw_spectrogram(B, rng))
+
+    dt = jnp.bfloat16
+    spec_branch = models.SpectrogramCNN(dtype=dt)
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(),
+        spectrogram_model=spec_branch)
+    prep_e = lambda re: ops.hms_eeg_preprocess(re, assume_finite=True)
+    prep_s = lambda rs: ops.hms_spectrogram_preprocess(rs, serving_dtype=dt)
+    xe, xs = prep_e(raw_eeg[:2]), prep_s(raw_spec[:2])
+    v = mm.init(jax.random.PRNGKey(0), xe, xs)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    pv = v["params"]["spectrogram_model"]
+    bs = v["batch_stats"]["spectrogram_model"]
+
+    widths = spec_branch.widths
+    pools = ("max", "avg", "max", "avg", "max")
+    blocks = [SpectrogramBlock(w, pool_type=p, dtype=dt)
+              for w, p in zip(widths, pools)]
+
+    def spec_blocks_upto(rs, k):
+        x = nchw_to_nhwc(prep_s(rs))
+        for i in range(k):
+            x = blocks[i].apply({"params": pv[f"block{i+1}"],
+                                 "batch_stats": bs[f"block{i+1}"]}, x)
+        return x
+
+    # prefix programs: each strictly extends the previous one
+    stages = []
+
+    def add_stage(name, fn):
+        stages.append((name, jax.jit(fn)))
+
+    add_stage("eeg_preprocess",
+              lambda re, rs: (prep_e(re), rs[:2, :2, :2]))
+    add_stage("spec_preprocess",
+              lambda re, rs: (prep_e(re), prep_s(rs)))
+    add_stage("eeg_branch",
+              lambda re, rs: (mm.apply(v, prep_e(re),
+                                       method=mm.forward_eeg), prep_s(rs)))
+    for k in range(1, 6):
+        add_stage(f"spec_block{k}",
+                  (lambda kk: lambda re, rs:
+                   (mm.apply(v, prep_e(re), method=mm.forward_eeg),
+                    spec_blocks_upto(rs, kk)))(k))
+    add_stage("full_pipeline", lambda re, rs: (mm.apply(v, prep_e(re),
+                                                        prep_s(rs)), rs))
+
+    def time_stage(fn):
+        def step(re, rs):
+            a, b_ = fn(re, rs)
+            # full-tensor means keep BOTH stage outputs live (a partial
+            # slice would let XLA hoist it and skip most of the batch)
+            f = 1.0 + (jnp.mean(a).astype(jnp.float32)
+                       + jnp.mean(b_).astype(jnp.float32)) * 1e-6
+            return re * f, rs * f, f
+
+        step = jax.jit(step)
+
+        def run_chain(state, iters):
+            re, rs = state
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                re, rs, out = step(re, rs)
+            _ = float(out)
+            return (re, rs), time.perf_counter() - t0
+
+        st, _ = run_chain((raw_eeg, raw_spec), 2)       # warmup/compile
+        return _timed_reps(run_chain, st, iters=8, reps=5)
+
+    cum = {}
+    for name, fn in stages:
+        cum[name] = time_stage(fn)
+
+    names = [n for n, _ in stages]
+    per_stage_ms = {}
+    prev = 0.0
+    for n in names:
+        per_stage_ms[n] = (cum[n] - prev) * 1e3
+        prev = cum[n]
+
+    # conv FLOPs per spectrogram block (3×3 convs + 1×1 pooled skip)
+    H, W, Cin = 400, 300, 3
+    peak = 197e12                                        # v5e bf16 peak
+    block_mfu = {}
+    for i, Cout in enumerate(widths):
+        flops = 2 * H * W * 9 * (Cin * Cout + 2 * Cout * Cout)
+        Hp, Wp = H // 2, W // 2
+        flops += 2 * Hp * Wp * Cin * Cout                # 1×1 skip
+        t = per_stage_ms[f"spec_block{i+1}"] / 1e3
+        block_mfu[f"block{i+1}"] = {
+            "ms": round(per_stage_ms[f"spec_block{i+1}"], 3),
+            "gflops_per_sample": round(flops / 1e9, 3),
+            "mfu": round(flops * B / max(t, 1e-9) / peak, 4),
+            "shape_in": [H, W, Cin],
+        }
+        H, W, Cin = Hp, Wp, Cout
+
+    wps = B / cum["full_pipeline"]
+    print(json.dumps({
+        "metric": "multimodal_breakdown",
+        "value": round(wps, 2), "unit": "windows/s",
+        "vs_baseline": round(wps / 10_000.0, 4),
+        "batch": B,
+        "per_stage_ms": {k: round(v_, 3) for k, v_ in per_stage_ms.items()},
+        "spec_block_mfu": block_mfu,
+        "note": ("per-stage = difference of chained prefix programs "
+                 "(dispatch overhead cancels); MFU = conv MACs×2 / v5e "
+                 "bf16 peak 197 TFLOP/s"),
     }))
 
 
@@ -481,6 +622,8 @@ if __name__ == "__main__":
         bench_longeeg()
     elif "--diffeeg-train" in sys.argv:
         bench_diffeeg_train()
+    elif "--multimodal" in sys.argv and "--breakdown" in sys.argv:
+        bench_multimodal_breakdown()
     elif "--multimodal" in sys.argv:
         bench_multimodal()
     elif "--diffusion" in sys.argv:

@@ -651,6 +651,10 @@ def cmd_xai(args) -> int:
                                 "eeg_saliency",
                                 xai.channel_select.channel_names_37())
     eeg_fwd = lambda e: mm.apply(variables, e, method=mm.forward_eeg)
+    ig = xai.integrated_gradients(eeg_fwd, eeg_in[:2], steps=32)
+    comp = float(jnp.abs(ig.reshape(2, -1)).sum() / 2)
+    print(f"IG: mean |attr| mass per sample {comp:.4f} "
+          f"(completeness-tested quadrature)")
     shap_vals = xai.gradient_shap_values(eeg_fwd, eeg_in[:2], eeg_bg,
                                          jax.random.PRNGKey(0), nsamples=16)
     idx, scores = xai.get_top_n_channels(np.asarray(shap_vals), n=10)

@@ -208,3 +208,38 @@ def test_gathered_conditioning_exact(rng):
         want = m.apply(v, y, spec, T, method=DiffEEG.conditioning_dense)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-3)
+
+
+@pytest.mark.slow
+def test_diffeeg_evaluate_uses_ema_params(tmp_path):
+    """The generative eval samples with the EMA params, not the online
+    params — the reference evaluates the EMA model (DiffEEG_train.py
+    evaluate); pinned by making the two parameter sets differ and
+    checking which one drives the metrics."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu import (models,
+                                                                 train)
+
+    cfg = C.DiffEEGConfig(n_channels=2, input_length=64, hidden_channels=4,
+                          n_diffusion_steps=6, gradient_accumulate_every=1,
+                          batch_size=2, stft_n_fft=16, stft_noverlap=8)
+    tr = train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4), cfg,
+                              seed=0)
+    rng = np.random.default_rng(0)
+    val = [(rng.standard_normal((2, 2, 64)).astype(np.float32),
+            np.eye(6, dtype=np.float32)[np.array([0, 1])])]
+
+    tr.rng = jax.random.PRNGKey(7)
+    base = tr.evaluate(val, frac=1.0)
+    # corrupt the ONLINE params: eval must not change
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, tr.state.params)
+    tr.state = tr.state.replace(params=zeroed)
+    tr.rng = jax.random.PRNGKey(7)
+    same = tr.evaluate(val, frac=1.0)
+    assert same == pytest.approx(base)
+    # corrupt the EMA params: eval must change
+    tr.ema = tr.ema._replace(params=jax.tree_util.tree_map(
+        lambda a: a + 1.0, tr.ema.params))
+    tr.rng = jax.random.PRNGKey(7)
+    diff = tr.evaluate(val, frac=1.0)
+    assert diff["mmd"] != pytest.approx(base["mmd"])
