@@ -34,7 +34,9 @@ def test_cli_train_wavenet_demo(tmp_path):
 def test_cli_generate_demo(tmp_path):
     r = _run(["generate", "--demo", "--ckpt-dir", str(tmp_path)], tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert os.path.exists(tmp_path / "generated_class_5.npy")
+    # no checkpoint in a fresh dir: demo warns and samples from fresh init
+    assert "no diffeeg checkpoint found" in r.stdout
+    assert os.path.exists(tmp_path / "generated" / "generated_class_5.npy")
 
 
 @pytest.mark.slow
