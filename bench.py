@@ -210,9 +210,8 @@ def bench_multimodal_breakdown() -> None:
     bs = v["batch_stats"]["spectrogram_model"]
 
     widths = spec_branch.widths
-    pools = ("max", "avg", "max", "avg", "max")
     blocks = [SpectrogramBlock(w, pool_type=p, dtype=dt)
-              for w, p in zip(widths, pools)]
+              for w, p in zip(widths, spec_branch.pools)]
 
     def spec_blocks_upto(rs, k):
         x = nchw_to_nhwc(prep_s(rs))

@@ -126,9 +126,11 @@ def cmd_train_wavenet(args) -> int:
         # generated_class_{c}.npy pools and balanced-merge them into the
         # real training set.  Generated windows live in the 19-channel
         # transformed space (what train-diffeeg trained on); the bipolar
-        # magic-8 differencing is linear and per-channel-commutes with the
-        # lowpass/downsample chain, so applying it here maps them into the
-        # WaveNet's input space exactly.
+        # magic-8 differencing commutes with the linear lowpass/downsample
+        # stages, so differencing here maps them into the WaveNet's input
+        # space wherever the real chain's ±1024 µV clip was inactive; the
+        # post-difference clip at ±32 below enforces the same feature
+        # bound the real chain guarantees (clip(a−b, ±1024)/32).
         import jax.numpy as jnp
         from . import diffusion
         gen = {}
@@ -147,7 +149,7 @@ def cmd_train_wavenet(args) -> int:
             g8 = np.asarray(ops.chris_magic_ch8(
                 jnp.asarray(arr.transpose(0, 2, 1)),
                 columns=C.EEG_FEATURES))                # (M, 2000, 8)
-            gen[c] = g8.astype(np.float32)
+            gen[c] = np.clip(g8, -32.0, 32.0).astype(np.float32)
         n_real = len(x)
         x, y, groups = diffusion.augment_dataset_balanced(
             x, y, gen, seed=args.seed, groups=groups)
@@ -510,7 +512,12 @@ def cmd_train_diffeeg(args) -> int:
         at = trainer.load()
         print(f"resume: {'step ' + str(at) if at else 'no checkpoint found'}")
     hist = trainer.train(batches, val_batches=val, total_steps=total)
-    print(f"final loss: {hist['loss'][-1]:.4f}; evals: {len(hist['eval'])}")
+    if hist["loss"]:
+        print(f"final loss: {hist['loss'][-1]:.4f}; "
+              f"evals: {len(hist['eval'])}")
+    else:
+        print(f"nothing to do: resumed at step {int(trainer.state.step)} "
+              f">= total {total}")
     return 0
 
 
@@ -590,11 +597,10 @@ def cmd_xai(args) -> int:
         eeg_in, spec_in = ops.preprocess_multimodal(raw_eeg, raw_spec,
                                                     signal=sig)
         # background set distinct from the explained batch (the reference
-        # draws ~100 train-loader samples, XAI_Multimodality.py:2242-2254)
+        # draws ~100 train-loader samples, XAI_Multimodality.py:2242-2254);
+        # only the EEG branch is explained, so only it is preprocessed
         bg_raw = data.synthetic_raw_eeg(32, rng, n_points=2000)
-        eeg_bg, _ = ops.preprocess_multimodal(
-            bg_raw, data.synthetic_raw_spectrogram(32, rng, shape=(80, 60)),
-            signal=sig)
+        eeg_bg = ops.hms_eeg_preprocess(bg_raw, signal=sig)
         y_in = np.eye(6, dtype=np.float32)[np.arange(8) % 6]
         y_bg = np.eye(6, dtype=np.float32)[np.arange(32) % 6]
         mm = models.MultimodalModel(
@@ -621,8 +627,7 @@ def cmd_xai(args) -> int:
                                            seed=args.seed)[0]
         bg_rows = tr_idx[:min(100, len(tr_idx))]
         bg = src.gather(np.asarray(bg_rows))
-        eeg_bg, _ = ops.preprocess_multimodal(
-            jnp.asarray(bg["eeg"]), jnp.asarray(bg["spec"]))
+        eeg_bg = ops.hms_eeg_preprocess(jnp.asarray(bg["eeg"]))
         y_in, y_bg = batch["y"], bg["y"]
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(),

@@ -200,9 +200,13 @@ class MultimodalSource:
 
         eeg_ids = self.meta["eeg_id"].to_numpy(np.int64)
         uniq_eeg, eeg_row2u = np.unique(eeg_ids, return_inverse=True)
-        self._eeg_stack = np.stack(
-            [np.ascontiguousarray(eeg_cache[e].T) for e in uniq_eeg]
-        ).astype(np.float32, copy=False)                 # (U, 20, 10000)
+        # preallocate-and-fill (not np.stack over a list of copies): caps
+        # the transient peak at cache + stack instead of 3× the data size
+        first = eeg_cache[uniq_eeg[0]]
+        self._eeg_stack = np.empty(
+            (len(uniq_eeg), first.shape[1], first.shape[0]), np.float32)
+        for i, e in enumerate(uniq_eeg):                 # (U, 20, 10000)
+            self._eeg_stack[i] = eeg_cache[e].T
         self._eeg_row2u = eeg_row2u.astype(np.int64)
 
         spec_ids = self.meta["spectrogram_id"].to_numpy(np.int64)
@@ -224,7 +228,10 @@ class MultimodalSource:
             off = self.meta[col].to_numpy(np.float64)
         else:
             off = np.full(len(self.meta), np.nan)
-        offi = np.floor(np.nan_to_num(off, nan=0.0)).astype(np.int64) // 2
+        # clamp at 0: offsets are nonnegative in the HMS schema, and a
+        # negative start must not index before the plane buffer
+        offi = np.maximum(
+            np.floor(np.nan_to_num(off, nan=0.0)).astype(np.int64) // 2, 0)
         rows_per = lens[self._spec_row2u]
         self._crop_start = np.where(~np.isnan(off) & (rows_per >= offi),
                                     offi, 0).astype(np.int64)

@@ -80,7 +80,9 @@ def crop_spectrogram(spec_tc: np.ndarray,
     """
     raw = spec_tc
     if offset_seconds is not None:
-        off = int(offset_seconds) // 2
+        # clamped at 0 (offsets are nonnegative in the HMS schema; a
+        # negative value must not wrap into tail-slicing)
+        off = max(int(offset_seconds) // 2, 0)
         basic = raw[off:off + width, :] if raw.shape[0] >= off else raw
         pad = max(0, width - basic.shape[0])
         if pad:

@@ -20,6 +20,10 @@ class SpectrogramCNN(nn.Module):
     probability deviation vs f32 is pinned by a test)."""
     num_classes: int = 6
     widths: tuple = (16, 32, 64, 128, 256)
+    #: per-block pool types (models.py:42-77) — exposed so external
+    #: per-block instrumentation (bench.py --breakdown) reads the real
+    #: sequence instead of duplicating it
+    pools: tuple = ("max", "avg", "max", "avg", "max")
     dtype: Any = None
 
     @nn.compact
@@ -27,8 +31,7 @@ class SpectrogramCNN(nn.Module):
         x = nchw_to_nhwc(x)
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        pools = ("max", "avg", "max", "avg", "max")
-        for i, (w, p) in enumerate(zip(self.widths, pools)):
+        for i, (w, p) in enumerate(zip(self.widths, self.pools)):
             x = SpectrogramBlock(w, pool_type=p, dtype=self.dtype,
                                  name=f"block{i+1}")(x, train)
         self.sow("intermediates", "feature_map", x)

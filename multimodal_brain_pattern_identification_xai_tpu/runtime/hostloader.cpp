@@ -119,7 +119,8 @@ void gather_multimodal(const float* eeg_src, const int64_t* eeg_idx,
       const int64_t s = spec_idx[i];
       const float* plane = spec_buf + spec_off[s] * n_freq;  // (rows, F)
       const int64_t rows = spec_len[s];
-      const int64_t start = crop_start[i];
+      // defensive clamp: a negative start must never read before the plane
+      const int64_t start = crop_start[i] < 0 ? 0 : crop_start[i];
       const int64_t avail =
           rows > start ? std::min(width, rows - start) : 0;
       float* dst = spec_out + i * spec_stride;               // (F, W)

@@ -134,6 +134,14 @@ class Trainer:
                 self.ckpt.best_epoch = int(meta.get("best_epoch",
                                                     self.ckpt.best_epoch))
                 bad_epochs = int(meta.get("bad_epochs", 0))
+                pl = meta.get("plateau")
+                if pl is not None and self.cfg.plateau is not None:
+                    # the plateau controller is host-side mutable state;
+                    # without this the first post-resume epoch would reset
+                    # the LR to its initial value
+                    self.cfg.plateau.lr = float(pl[0])
+                    self.cfg.plateau.best = float(pl[1])
+                    self.cfg.plateau.num_bad = int(pl[2])
                 logger.info("resumed from epoch snapshot step_%d "
                             "(next epoch %d)", latest, start_epoch)
         for epoch in range(start_epoch, self.cfg.epochs):
@@ -163,13 +171,16 @@ class Trainer:
                 # per-epoch resume point (the reference saves an epoch
                 # tarball every epoch, data_utils.py:256-311); pruned to
                 # the last `keep` snapshots
+                pl = self.cfg.plateau
                 self.ckpt.save_step(
                     epoch + 1, self.state,
                     meta={"epoch": epoch, "history": self.history,
                           "best_metric": best_metric,
                           "best_score": self.ckpt.best_score,
                           "best_epoch": self.ckpt.best_epoch,
-                          "bad_epochs": bad_epochs})
+                          "bad_epochs": bad_epochs,
+                          "plateau": ([pl.lr, pl.best, pl.num_bad]
+                                      if pl is not None else None)})
             msg = (f"[fold {fold}] " if fold is not None else "") + (
                 f"epoch {epoch}: train_loss={train_loss:.4f} "
                 f"val_loss={val_loss:.4f} "

@@ -284,3 +284,57 @@ def test_diffeeg_trainer_resume_matches_uninterrupted(tmp_path):
                       jax.tree_util.tree_leaves(t_b2.ema.params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     assert int(t_b2.state.step) == 6
+
+
+@pytest.mark.slow
+def test_trainer_resume_restores_plateau_state(tmp_path):
+    """ReduceLROnPlateau is host-side mutable state: a resumed run must
+    continue with the decayed LR/bookkeeping, not reset to the initial
+    LR (post-review fix)."""
+    def make(dir_, epochs, resume=False):
+        r = np.random.default_rng(5)
+        _, state, batch = _tiny_setup(r)
+        cfg = train.TrainerConfig(
+            epochs=epochs, resume=resume, eval_metrics=("kldiv",),
+            plateau=train.ReduceLROnPlateau(1e-3, factor=0.5, patience=0,
+                                            threshold=0.999))
+        batches = [{k: np.asarray(v) for k, v in batch.items()}
+                   for _ in range(2)]
+        return train.Trainer(state, cfg, ckpt_dir=dir_), batches
+
+    # threshold≈1 makes nearly every epoch "bad" → the LR decays fast
+    tr_a, ba = make(str(tmp_path / "a"), 4)
+    state_a, _, _ = tr_a.train_eval(lambda: iter(ba), lambda: iter(ba))
+    tr_b1, bb = make(str(tmp_path / "b"), 2)
+    tr_b1.train_eval(lambda: iter(bb), lambda: iter(bb))
+    assert tr_b1.cfg.plateau.lr < 1e-3          # decay actually happened
+    tr_b2, bb2 = make(str(tmp_path / "b"), 4, resume=True)
+    state_b, _, _ = tr_b2.train_eval(lambda: iter(bb2), lambda: iter(bb2))
+    assert tr_b2.cfg.plateau.lr == pytest.approx(tr_a.cfg.plateau.lr)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_diffeeg_train_already_finished_is_noop(tmp_path):
+    """Resuming a completed DiffEEG run trains zero steps and returns an
+    empty history instead of crashing (post-review fix)."""
+    from multimodal_brain_pattern_identification_xai_tpu import config as C
+
+    cfg = C.DiffEEGConfig(n_channels=2, input_length=64, hidden_channels=4,
+                          n_diffusion_steps=6, gradient_accumulate_every=1,
+                          batch_size=2, evaluate_every=1000,
+                          save_and_sample_every=2, min_steps=2,
+                          stft_n_fft=16, stft_noverlap=8)
+    r = np.random.default_rng(0)
+    items = [(r.standard_normal((2, 2, 64)).astype(np.float32),
+              np.eye(6, dtype=np.float32)[np.array([0, 1])])]
+    tr = train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4), cfg,
+                              ckpt_dir=str(tmp_path), seed=0)
+    tr.train(lambda: iter(list(items)), total_steps=2)
+    tr2 = train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4), cfg,
+                               ckpt_dir=str(tmp_path), seed=0)
+    assert tr2.load() == 2
+    hist = tr2.train(lambda: iter(list(items)), total_steps=2)
+    assert hist["loss"] == []
+    assert int(tr2.state.step) == 2
