@@ -196,9 +196,12 @@ def cmd_train_wavenet(args) -> int:
 def _multimodal_data(args, cfg):
     """Demo-or-real data plumbing shared by ``train-multimodal`` and the
     branch-pretraining commands: returns ``(sig, raw_batches, tr_idx,
-    va_idx, eeg_kwargs)`` where ``raw_batches(idx, bs, shuffle)`` yields
-    raw {"eeg", "spec", "y"} host batches (fold 0 of the notebook's
-    StratifiedKFold, XAI_Multimodality.py:539-571)."""
+    va_idx, eeg_kwargs, pf_kwargs)`` where ``raw_batches(idx, bs,
+    shuffle)`` yields raw {"eeg", "spec", "y"} host batches (fold 0 of
+    the notebook's StratifiedKFold, XAI_Multimodality.py:539-571) and
+    ``pf_kwargs`` must be splatted into every ``prefetch_to_device``
+    consuming them (the real path reuses gather buffers, which requires
+    synced transfers)."""
     from . import config as C, data, train
 
     rng = np.random.default_rng(args.seed)
@@ -211,6 +214,8 @@ def _multimodal_data(args, cfg):
         y = np.eye(6, dtype=np.float32)[np.arange(n) % 6]
         tr_idx = va_idx = np.arange(n)
         eeg_kwargs = dict(samples=600, kern_length=16)
+
+        pf_kwargs = {}
 
         def raw_batches(idx, bs, shuffle):
             return data.batch_iterator(
@@ -230,12 +235,18 @@ def _multimodal_data(args, cfg):
         eeg_kwargs = {}
         print(f"fold 0: {len(tr_idx)} train / {len(va_idx)} val rows")
 
+        # ring-buffer gather + synced H2D transfers: the producer thread
+        # reuses two preallocated host batch buffers (no ~330 MB of fresh
+        # page faults per batch) and prefetch blocks until each copy lands
+        # before the slot can be overwritten
+        pf_kwargs = {"sync_transfers": True}
+
         def raw_batches(idx, bs, shuffle):
             return src.batches(idx, bs, shuffle=shuffle,
                                seed=args.seed + (next(epoch) if shuffle
                                                  else 0),
-                               drop_last=shuffle)
-    return sig, raw_batches, tr_idx, va_idx, eeg_kwargs
+                               drop_last=shuffle, reuse_buffers=True)
+    return sig, raw_batches, tr_idx, va_idx, eeg_kwargs, pf_kwargs
 
 
 def cmd_train_multimodal(args) -> int:
@@ -253,8 +264,8 @@ def cmd_train_multimodal(args) -> int:
     from . import config as C, data, models, ops, train, xai
 
     cfg = _load_cfg(args)
-    sig, raw_batches, tr_idx, va_idx, eeg_kwargs = _multimodal_data(args,
-                                                                    cfg)
+    (sig, raw_batches, tr_idx, va_idx, eeg_kwargs,
+     pf_kwargs) = _multimodal_data(args, cfg)
     eeg_model = models.EEGNetAttentionRegularized(**eeg_kwargs)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
     pp = jax.jit(lambda e, s: ops.preprocess_multimodal(e, s, signal=sig))
@@ -268,7 +279,8 @@ def cmd_train_multimodal(args) -> int:
         # background-thread prefetch: host-side gather (parquet decode /
         # crop — pyarrow releases the GIL) of batch N+1 overlaps the
         # device preprocess + train step of batch N
-        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True)):
+        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True),
+                                             **pf_kwargs):
             eeg_raw = batch["eeg"]
             if cfg.augment:
                 # CFG.AUGMENT parity: left/right hemisphere mirror applied
@@ -283,7 +295,8 @@ def cmd_train_multimodal(args) -> int:
             yield {"eeg": e, "spec": s, "y": yb}
 
     def val_iter():
-        for batch in data.prefetch_to_device(raw_batches(va_idx, bs, False)):
+        for batch in data.prefetch_to_device(raw_batches(va_idx, bs, False),
+                                             **pf_kwargs):
             e, s = pp(batch["eeg"], batch["spec"])
             yield {"eeg": e, "spec": s, "y": batch["y"]}
 
@@ -368,8 +381,8 @@ def _train_branch(args, which: str) -> int:
     from . import config as C, data, models, ops, train, utils
 
     cfg = _load_cfg(args)
-    sig, raw_batches, tr_idx, va_idx, eeg_kwargs = _multimodal_data(args,
-                                                                    cfg)
+    (sig, raw_batches, tr_idx, va_idx, eeg_kwargs,
+     pf_kwargs) = _multimodal_data(args, cfg)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
     if which == "eeg":
         model = models.EEGNetAttentionRegularized(**eeg_kwargs)
@@ -382,15 +395,16 @@ def _train_branch(args, which: str) -> int:
         key_name = "spec"
 
     def train_iter():
-        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True)):
+        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True),
+                                             **pf_kwargs):
             raw = batch[key_name]
             if which == "eeg" and cfg.augment:
                 raw = mirror(raw)            # CFG.AUGMENT hemisphere swap
             yield {"x": pp(raw), "y": batch["y"]}
 
     def val_iter():
-        for batch in data.prefetch_to_device(raw_batches(va_idx, bs,
-                                                         False)):
+        for batch in data.prefetch_to_device(raw_batches(va_idx, bs, False),
+                                             **pf_kwargs):
             yield {"x": pp(batch[key_name]), "y": batch["y"]}
 
     fb = next(raw_batches(va_idx, bs, False))

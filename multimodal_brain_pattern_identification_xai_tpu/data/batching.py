@@ -42,7 +42,8 @@ def multimodal_batch_iterator(eeg: np.ndarray, spec: np.ndarray,
 
 def prefetch_to_device(iterator: Iterable[Dict[str, np.ndarray]],
                        size: int = 2,
-                       sharding: Optional[Any] = None
+                       sharding: Optional[Any] = None,
+                       sync_transfers: bool = False
                        ) -> Iterator[Dict[str, jax.Array]]:
     """Background-thread prefetcher: stages ``size`` batches ahead on
     device (optionally with a sharding) so H2D copies overlap compute —
@@ -51,6 +52,16 @@ def prefetch_to_device(iterator: Iterable[Dict[str, np.ndarray]],
     Producer exceptions (corrupt parquet, device OOM) re-raise in the
     consumer rather than hanging it, and closing/abandoning the generator
     stops the producer and releases its staged device batches.
+
+    ``sync_transfers=True`` makes it safe for ``iterator`` to reuse host
+    buffers (``MultimodalSource.batches(reuse_buffers=True)``): on an
+    accelerator backend the producer blocks until each batch's H2D copy
+    has completed before requesting the next batch (PJRT transfers are
+    asynchronous and only promise not to read the source after
+    completion); on the CPU backend ``device_put`` is ZERO-COPY — the
+    device array aliases the host buffer — so the batch is copied up
+    front instead.  Compute overlap is preserved either way — the
+    consumer still runs ahead on the staged queue.
     """
     import queue as _queue
 
@@ -58,10 +69,25 @@ def prefetch_to_device(iterator: Iterable[Dict[str, np.ndarray]],
     stop = threading.Event()
     _DONE, _ERR = object(), object()
 
+    if sync_transfers:
+        plat = (next(iter(sharding.device_set)).platform
+                if sharding is not None else jax.default_backend())
+        copy_first = plat == "cpu"
+    else:
+        copy_first = False
+
     def put_batch(batch):
+        if copy_first:
+            batch = {k: np.array(v, copy=True) if isinstance(v, np.ndarray)
+                     else v for k, v in batch.items()}
         if sharding is not None:
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+            dev = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            dev = {k: jax.device_put(v) for k, v in batch.items()}
+        if sync_transfers and not copy_first:
+            for v in dev.values():
+                v.block_until_ready()
+        return dev
 
     def enqueue(item) -> bool:
         while not stop.is_set():

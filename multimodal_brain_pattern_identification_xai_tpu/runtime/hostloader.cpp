@@ -126,9 +126,23 @@ void gather_multimodal(const float* eeg_src, const int64_t* eeg_idx,
       float* dst = spec_out + i * spec_stride;               // (F, W)
       if (avail < width)
         std::memset(dst, 0, sizeof(float) * spec_stride);
-      for (int64_t t = 0; t < avail; ++t) {
-        const float* row = plane + (start + t) * n_freq;
-        for (int64_t f = 0; f < n_freq; ++f) dst[f * width + t] = row[f];
+      // cache-blocked transpose: the naive t-outer/f-inner loop touches
+      // n_freq distinct cache lines per time-row and revisits each one
+      // `width` times — over a ~480 KB destination that is a hard L1/L2
+      // miss per element.  64x64 tiles keep both the source tile
+      // (64 rows x 256 B) and the destination tile resident.
+      constexpr int64_t TB = 64;
+      for (int64_t t0 = 0; t0 < avail; t0 += TB) {
+        const int64_t t1 = std::min(avail, t0 + TB);
+        for (int64_t f0 = 0; f0 < n_freq; f0 += TB) {
+          const int64_t f1 = std::min(n_freq, f0 + TB);
+          for (int64_t f = f0; f < f1; ++f) {
+            float* drow = dst + f * width;
+            const float* col = plane + (start + t0) * n_freq + f;
+            for (int64_t t = t0; t < t1; ++t, col += n_freq)
+              drow[t] = *col;
+          }
+        }
       }
     }
   };

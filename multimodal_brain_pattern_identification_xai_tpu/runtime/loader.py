@@ -89,14 +89,22 @@ def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
                       spec_buf: np.ndarray, spec_off: np.ndarray,
                       spec_len: np.ndarray, spec_idx: np.ndarray,
                       crop_start: np.ndarray, width: int = 300,
-                      n_threads: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+                      n_threads: int = 4,
+                      out: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Assemble one combined EEG+spectrogram raw batch from resident
     stores (the native half of ``MultimodalSource.gather``): strided EEG
-    copy + ragged spectrogram crop/transpose/zero-pad.
+    copy + ragged spectrogram crop/transpose/pad.
 
     ``eeg_src``: (U, C, T); ``spec_buf``: concatenated (rows_i, F) planes.
     Returns ``(eeg (B, C, T), spec (B, F, width))``.  Numpy fallback when
     the native library is unavailable.
+
+    ``out``: optional preallocated ``(eeg_out, spec_out)`` pair, filled
+    and returned instead of fresh arrays.  Reusing buffers across batches
+    skips ~330 MB of first-touch page faults per call (measured 2.1× on
+    the gather) — the caller owns the aliasing contract (see
+    ``MultimodalSource.batches(reuse_buffers=True)``).
     """
     eeg_src = np.ascontiguousarray(eeg_src, np.float32)
     spec_buf = np.ascontiguousarray(spec_buf, np.float32)
@@ -108,10 +116,18 @@ def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
     B = len(eeg_idx)
     C, T = eeg_src.shape[1], eeg_src.shape[2]
     F = spec_buf.shape[1]
+    if out is not None:
+        eeg, spec = out
+        assert eeg.shape == (B, C, T) and eeg.dtype == np.float32
+        assert spec.shape == (B, F, width) and spec.dtype == np.float32
+        assert eeg.flags.c_contiguous and spec.flags.c_contiguous
     lib = _load_lib()
     if lib is None:
-        eeg = eeg_src[eeg_idx].copy()
-        spec = np.zeros((B, F, width), np.float32)
+        if out is None:
+            eeg = np.empty((B, C, T), np.float32)
+            spec = np.empty((B, F, width), np.float32)
+        np.take(eeg_src, eeg_idx, axis=0, out=eeg)
+        spec[:] = 0.0
         for i in range(B):
             s = spec_idx[i]
             plane = spec_buf[spec_off[s]:spec_off[s] + spec_len[s]]
@@ -120,8 +136,9 @@ def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
             if avail:
                 spec[i, :, :avail] = plane[start:start + avail].T
         return eeg, spec
-    eeg = np.empty((B, C, T), np.float32)
-    spec = np.empty((B, F, width), np.float32)
+    if out is None:
+        eeg = np.empty((B, C, T), np.float32)
+        spec = np.empty((B, F, width), np.float32)
     lib.gather_multimodal(_f32p(eeg_src), _i64p(eeg_idx), _f32p(spec_buf),
                           _i64p(spec_off), _i64p(spec_len), _i64p(spec_idx),
                           _i64p(crop_start), _f32p(eeg), _f32p(spec),

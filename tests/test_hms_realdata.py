@@ -89,6 +89,27 @@ def test_multimodal_source_batches(hms_tree, tmp_path):
     assert not np.array_equal(b0["spec"], b1["spec"])
 
 
+def test_multimodal_batches_reuse_buffers(hms_tree, tmp_path):
+    """The 2-slot ring-buffer gather path yields batches identical to the
+    allocate-per-batch path under the synced-transfer prefetcher (the
+    training-loop configuration), across slot reuse."""
+    paths = C.load_config(None, [f"paths.data_root={hms_tree}"]).paths
+    src = data.multimodal_source(paths, cache_dir=str(tmp_path),
+                                 n_workers=2)
+    rows = np.arange(len(src))
+    plain = [{k: v.copy() for k, v in b.items()}
+             for b in src.batches(rows, 4, shuffle=True, seed=3)]
+    reused = [{k: np.asarray(v) for k, v in b.items()}
+              for b in data.prefetch_to_device(
+                  src.batches(rows, 4, shuffle=True, seed=3,
+                              reuse_buffers=True),
+                  sync_transfers=True)]
+    assert len(plain) == len(reused) == 4       # 16 rows / 4, 2 slots x2
+    for a, b in zip(plain, reused):
+        for k in ("eeg", "spec", "y"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 @pytest.mark.slow
 def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
     rc = main(["train-wavenet", "--set", f"paths.data_root={hms_tree}",

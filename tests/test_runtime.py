@@ -75,3 +75,40 @@ def test_gather_multimodal_native_matches_fallback(monkeypatch, rng):
         np.testing.assert_array_equal(a, b)
     # overrun portion really is zero-padded
     assert native[1][1, :, 5:].max() == 0.0
+
+
+def test_gather_multimodal_out_buffers_identical(rng):
+    """gather_multimodal(out=...) fills preallocated buffers bit-identically
+    to fresh allocation, and a reused slot is fully overwritten — including
+    the zero-pad tail, which must not leak the previous batch."""
+    from multimodal_brain_pattern_identification_xai_tpu.runtime import loader
+
+    eeg = rng.standard_normal((6, 3, 40)).astype(np.float32)
+    planes = [rng.standard_normal((r, 7)).astype(np.float32)
+              for r in (20, 35, 10)]
+    lens = np.array([20, 35, 10], np.int64)
+    off = np.array([0, 20, 55], np.int64)
+    buf = np.concatenate(planes)
+    W = 16
+    out = (np.empty((4, 3, 40), np.float32), np.empty((4, 7, W), np.float32))
+    out[1][:] = 123.0                           # poison the pad region
+
+    def batch(eeg_idx, spec_idx, start):
+        args = (eeg, np.asarray(eeg_idx, np.int64), buf, off, lens,
+                np.asarray(spec_idx, np.int64), np.asarray(start, np.int64))
+        fresh = runtime.gather_multimodal(*args, width=W)
+        reused = runtime.gather_multimodal(*args, width=W, out=out)
+        assert reused[0] is out[0] and reused[1] is out[1]
+        for a, b in zip(fresh, reused):
+            np.testing.assert_array_equal(a, b)
+
+    batch([0, 1, 2, 3], [0, 1, 2, 1], [0, 30, 5, 2])   # overruns → pad
+    batch([5, 4, 0, 0], [2, 2, 0, 1], [0, 0, 10, 0])   # reuse the ring slot
+
+    # numpy fallback honors out= with the same semantics
+    lib = loader._load_lib
+    try:
+        loader._load_lib = lambda: None
+        batch([0, 1, 2, 3], [0, 1, 2, 1], [0, 30, 5, 2])
+    finally:
+        loader._load_lib = lib
