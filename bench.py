@@ -556,6 +556,57 @@ def bench_latency() -> None:
     }))
 
 
+def bench_hostgather() -> None:
+    """Optional mode: host-side batch assembly cost of the real-data
+    multimodal training path (``MultimodalSource.batches``) — the C++
+    ``gather_multimodal`` ring-buffer path vs allocate-per-batch, at the
+    PARITY shapes (B=256: 20×10000 EEG + ragged→400×300 spectrogram crop
+    per row, ~330 MB moved).  No device work; prints the reused-ring
+    ms/batch as the metric.  ``python bench.py --hostgather``."""
+    import pandas as pd
+    from multimodal_brain_pattern_identification_xai_tpu.data import hms
+
+    rng = np.random.default_rng(0)
+    U, C_, T = 200, 20, 10_000
+    NS, F, W = 120, 400, 300
+    N, B = 1024, 256
+    cache = {i: rng.standard_normal((T, C_)).astype(np.float32)
+             for i in range(U)}
+    lens = rng.integers(400, 620, NS)
+    store = {i: rng.standard_normal((int(lens[i]), F)).astype(np.float32)
+             for i in range(NS)}
+    meta = pd.DataFrame({
+        "eeg_id": rng.integers(0, U, N),
+        "spectrogram_id": rng.integers(0, NS, N),
+        "spectrogram_label_offset_seconds":
+            rng.integers(0, 600, N).astype(float),
+        "expert_consensus": np.random.default_rng(1).choice(
+            ["Seizure", "LPD", "GPD", "LRDA", "GRDA", "Other"], N),
+    })
+    src = hms.MultimodalSource(meta, cache, store, spec_width=W)
+    rows = np.arange(N)
+
+    def time_mode(reuse: bool) -> float:
+        it = src.batches(rows, B, shuffle=False, reuse_buffers=reuse)
+        next(it)                                   # warm (page in ring)
+        ts = []
+        t0 = time.perf_counter()
+        for _ in it:
+            t1 = time.perf_counter()
+            ts.append(t1 - t0)
+            t0 = t1
+        return sorted(ts)[len(ts) // 2] * 1e3      # median ms/batch
+
+    fresh = time_mode(False)
+    ring = time_mode(True)
+    print(json.dumps({
+        "metric": "hostgather_ring_ms_per_batch",
+        "value": round(ring, 2),
+        "unit": "ms/batch (B=256, ~330 MB)",
+        "vs_baseline": round(fresh / ring, 3),      # speedup vs fresh-alloc
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -629,5 +680,7 @@ if __name__ == "__main__":
         bench_diffusion()
     elif "--latency" in sys.argv:
         bench_latency()
+    elif "--hostgather" in sys.argv:
+        bench_hostgather()
     else:
         main()

@@ -500,10 +500,14 @@ def cmd_train_diffeeg(args) -> int:
             ytr = np.ascontiguousarray(y[tr])
 
             def batches():
+                # pop_ring: the trainer holds gradient_accumulate_every
+                # micro-batches before stacking them for one step, so the
+                # reuse ring must exceed that (+ queue slack)
+                ring = cfg.gradient_accumulate_every + 8
                 for ep in itertools.count():
                     q = runtime.NativeBatchQueue(
                         xtr, ytr, cfg.batch_size, shuffle=True,
-                        seed=args.seed + ep, n_workers=2)
+                        seed=args.seed + ep, n_workers=2, pop_ring=ring)
                     for b in q:
                         yield b["x"], b["y"]
         else:

@@ -7,4 +7,5 @@ native path.
 """
 
 from .loader import (native_available, gather_windows,  # noqa: F401
-                     gather_multimodal, NativeBatchQueue)
+                     gather_windows_into, gather_multimodal,
+                     NativeBatchQueue)

@@ -173,6 +173,11 @@ struct BatchQueue {
   int64_t n_batches = 0;
 
   std::queue<std::pair<std::vector<float>, std::vector<float>>> ready;
+  // freelist of retired batch buffers: reusing them caps the resident
+  // set at ~(capacity + workers) buffers and — more importantly on a
+  // cgroup-limited host — avoids paying first-touch page faults and
+  // value-initialization (memset) for every batch's vectors
+  std::vector<std::pair<std::vector<float>, std::vector<float>>> spare;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   size_t capacity = 4;
@@ -184,8 +189,17 @@ struct BatchQueue {
     for (;;) {
       int64_t b = cursor.fetch_add(1);
       if (b >= n_batches || stop.load()) break;
-      std::vector<float> xbuf(batch * channels * length);
-      std::vector<float> ybuf(batch * n_classes);
+      std::vector<float> xbuf, ybuf;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        if (!spare.empty()) {
+          xbuf = std::move(spare.back().first);
+          ybuf = std::move(spare.back().second);
+          spare.pop_back();
+        }
+      }
+      xbuf.resize(batch * channels * length);
+      ybuf.resize(batch * n_classes);
       const int64_t* idx = order.data() + b * batch;
       gather_windows(src, idx, xbuf.data(), batch, channels, length,
                      n_threads_gather);
@@ -237,6 +251,11 @@ int bq_next(void* handle, float* x_out, float* y_out) {
   lk.unlock();
   std::memcpy(x_out, item.first.data(), item.first.size() * sizeof(float));
   std::memcpy(y_out, item.second.data(), item.second.size() * sizeof(float));
+  {
+    // retire the drained buffers into the freelist for the next gather
+    std::unique_lock<std::mutex> lk2(q->mu);
+    q->spare.emplace_back(std::move(item.first), std::move(item.second));
+  }
   return 1;
 }
 

@@ -85,6 +85,26 @@ def gather_windows(src: np.ndarray, idx: np.ndarray,
     return out
 
 
+def gather_windows_into(src: np.ndarray, idx: np.ndarray,
+                        out: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """``gather_windows`` into a preallocated (B, C, T) buffer."""
+    src = np.ascontiguousarray(src, np.float32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    B, C, T = len(idx), src.shape[1], src.shape[2]
+    assert out.shape == (B, C, T) and out.dtype == np.float32
+    assert out.flags.c_contiguous
+    lib = _load_lib()
+    if lib is None:
+        np.take(src, idx, axis=0, out=out)
+        mean = np.nanmean(out, axis=-1, keepdims=True)
+        mean = np.where(np.isnan(mean), 0.0, mean)
+        np.copyto(out, np.where(np.isnan(out), mean, out))
+        return out
+    lib.gather_windows(_f32p(src), _i64p(idx), _f32p(out), B, C, T,
+                       int(n_threads))
+    return out
+
+
 def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
                       spec_buf: np.ndarray, spec_off: np.ndarray,
                       spec_len: np.ndarray, spec_idx: np.ndarray,
@@ -156,7 +176,7 @@ class NativeBatchQueue:
 
     def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
                  shuffle: bool = True, seed: int = 0, n_workers: int = 2,
-                 capacity: int = 4):
+                 capacity: int = 4, pop_ring: int = 0):
         self.x = np.ascontiguousarray(x, np.float32)
         self.y = np.ascontiguousarray(y, np.float32)
         self.batch_size = batch_size
@@ -167,6 +187,14 @@ class NativeBatchQueue:
         self.order = order[:n]
         self.n_workers = n_workers
         self.capacity = capacity
+        #: >0 cycles a ring of ``pop_ring`` preallocated output pairs
+        #: instead of fresh np.empty per pop (no first-touch page faults
+        #: per batch).  Contract: a yielded batch is only valid until
+        #: ``pop_ring`` further batches have been drawn — size it above
+        #: the consumer's maximum number of simultaneously-held batches
+        #: (e.g. gradient_accumulate_every + slack for the DiffEEG
+        #: trainer, which stacks K micro-batches per step).
+        self.pop_ring = pop_ring
 
     def __len__(self) -> int:
         return len(self.order) // self.batch_size
@@ -176,18 +204,34 @@ class NativeBatchQueue:
         B = self.batch_size
         C, T = self.x.shape[1], self.x.shape[2]
         K = self.y.shape[1]
+        ring = [(np.empty((B, C, T), np.float32),
+                 np.empty((B, K), np.float32))
+                for _ in range(self.pop_ring)] if self.pop_ring else None
+        k = 0
         if lib is None:
             for s in range(0, len(self.order), B):
                 sel = self.order[s:s + B]
-                yield {"x": gather_windows(self.x, sel), "y": self.y[sel]}
+                if ring is not None:
+                    xb, yb = ring[k % len(ring)]
+                    k += 1
+                    gather_windows_into(self.x, sel, xb)
+                    np.take(self.y, sel, axis=0, out=yb)
+                    yield {"x": xb, "y": yb}
+                else:
+                    yield {"x": gather_windows(self.x, sel),
+                           "y": self.y[sel]}
             return
         handle = lib.bq_create(_f32p(self.x), _f32p(self.y),
                                _i64p(self.order), len(self.order),
                                C, T, K, B, self.n_workers, self.capacity)
         try:
             while True:
-                xb = np.empty((B, C, T), np.float32)
-                yb = np.empty((B, K), np.float32)
+                if ring is not None:
+                    xb, yb = ring[k % len(ring)]
+                    k += 1
+                else:
+                    xb = np.empty((B, C, T), np.float32)
+                    yb = np.empty((B, K), np.float32)
                 if not lib.bq_next(ctypes.c_void_p(handle), _f32p(xb),
                                    _f32p(yb)):
                     return

@@ -112,3 +112,41 @@ def test_gather_multimodal_out_buffers_identical(rng):
         batch([0, 1, 2, 3], [0, 1, 2, 1], [0, 30, 5, 2])
     finally:
         loader._load_lib = lib
+
+
+def test_batch_queue_pop_ring_matches_fresh(rng):
+    """pop_ring reuse yields the same batch sequence as fresh allocation
+    (copy-on-consume; a slot is recycled after pop_ring further pops)."""
+    n, b = 40, 8
+    x = rng.standard_normal((n, 3, 20)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, n)]
+    fresh = [{k: v.copy() for k, v in bb.items()}
+             for bb in runtime.NativeBatchQueue(x, y, b, shuffle=True,
+                                                seed=9, n_workers=3)]
+    ringed = [{k: v.copy() for k, v in bb.items()}
+              for bb in runtime.NativeBatchQueue(x, y, b, shuffle=True,
+                                                 seed=9, n_workers=3,
+                                                 pop_ring=3)]
+    assert len(fresh) == len(ringed) == 5
+    for a, bb in zip(fresh, ringed):
+        np.testing.assert_array_equal(a["x"], bb["x"])
+        np.testing.assert_array_equal(a["y"], bb["y"])
+
+
+def test_batch_queue_pop_ring_numpy_fallback(monkeypatch, rng):
+    from multimodal_brain_pattern_identification_xai_tpu.runtime import loader
+
+    x = rng.standard_normal((16, 2, 10)).astype(np.float32)
+    x[3, 1, 2:5] = np.nan
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 16)]
+    native = [{k: v.copy() for k, v in bb.items()}
+              for bb in runtime.NativeBatchQueue(x, y, 4, shuffle=False,
+                                                 pop_ring=2)]
+    monkeypatch.setattr(loader, "_load_lib", lambda: None)
+    fallback = [{k: v.copy() for k, v in bb.items()}
+                for bb in runtime.NativeBatchQueue(x, y, 4, shuffle=False,
+                                                   pop_ring=2)]
+    for a, bb in zip(native, fallback):
+        np.testing.assert_allclose(a["x"], bb["x"], rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(a["y"], bb["y"])
+    assert all(np.isfinite(bb["x"]).all() for bb in fallback)
