@@ -268,7 +268,11 @@ def cmd_train_multimodal(args) -> int:
      pf_kwargs) = _multimodal_data(args, cfg)
     eeg_model = models.EEGNetAttentionRegularized(**eeg_kwargs)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
-    pp = jax.jit(lambda e, s: ops.preprocess_multimodal(e, s, signal=sig))
+    # real-data windows are NaN-repaired at cache-build time -> the EEG
+    # branch takes the montage-first fast path (mathematically identical
+    # on finite inputs, tested); demo data keeps deliberate NaNs
+    pp = jax.jit(lambda e, s: ops.preprocess_multimodal(
+        e, s, signal=sig, assume_finite=not args.demo))
     aug = jax.jit(ops.spectrogram_augment)
     aug_key = jax.random.PRNGKey(args.seed + 1)
     counter = itertools.count()
@@ -386,7 +390,8 @@ def _train_branch(args, which: str) -> int:
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
     if which == "eeg":
         model = models.EEGNetAttentionRegularized(**eeg_kwargs)
-        pp = jax.jit(lambda e: ops.hms_eeg_preprocess(e, signal=sig))
+        pp = jax.jit(lambda e: ops.hms_eeg_preprocess(
+            e, signal=sig, assume_finite=not args.demo))
         mirror = jax.jit(ops.mirror_eeg)
         key_name = "eeg"
     else:
@@ -636,7 +641,8 @@ def cmd_xai(args) -> int:
         n = min(args.limit or 32, len(src))
         batch = src.gather(np.arange(n))
         eeg_in, spec_in = ops.preprocess_multimodal(
-            jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]))
+            jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]),
+            assume_finite=True)
         # SHAP background: ~100 samples drawn from the fold-0 TRAIN split
         # (XAI_Multimodality.py:2242-2254), not the explained batch
         labels = np.asarray([C.NAME2LABEL[c]
@@ -645,7 +651,8 @@ def cmd_xai(args) -> int:
                                            seed=args.seed)[0]
         bg_rows = tr_idx[:min(100, len(tr_idx))]
         bg = src.gather(np.asarray(bg_rows))
-        eeg_bg = ops.hms_eeg_preprocess(jnp.asarray(bg["eeg"]))
+        eeg_bg = ops.hms_eeg_preprocess(jnp.asarray(bg["eeg"]),
+                                        assume_finite=True)
         y_in, y_bg = batch["y"], bg["y"]
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(),

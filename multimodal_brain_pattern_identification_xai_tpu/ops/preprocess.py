@@ -185,8 +185,18 @@ def hms_spectrogram_preprocess(spec: jnp.ndarray,
 
 def preprocess_multimodal(raw_eeg: jnp.ndarray, raw_spec: jnp.ndarray,
                           cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
-                          signal: C.SignalConfig = C.SignalConfig()):
+                          signal: C.SignalConfig = C.SignalConfig(),
+                          assume_finite: bool = False):
     """Both branches of the CombinedDataset (XAI_Multimodality.py:1114-1307)
-    as a single fused program."""
-    return (hms_eeg_preprocess(raw_eeg, cfg, signal),
+    as a single fused program.
+
+    ``assume_finite`` applies to the EEG branch only (see
+    :func:`hms_eeg_preprocess`) — real-data windows are NaN-repaired at
+    cache-build time, so the training CLI passes True there and takes the
+    montage-first single-cascade fast path (the configuration
+    ``bench.py --train`` measures).  The spectrogram branch keeps its own
+    NaN handling either way (raw Kaggle planes genuinely contain NaNs).
+    """
+    return (hms_eeg_preprocess(raw_eeg, cfg, signal,
+                               assume_finite=assume_finite),
             hms_spectrogram_preprocess(raw_spec, cfg, signal))
