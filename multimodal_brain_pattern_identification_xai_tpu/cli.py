@@ -238,14 +238,18 @@ def _multimodal_data(args, cfg):
         # ring-buffer gather + synced H2D transfers: the producer thread
         # reuses two preallocated host batch buffers (no ~330 MB of fresh
         # page faults per batch) and prefetch blocks until each copy lands
-        # before the slot can be overwritten
-        pf_kwargs = {"sync_transfers": True}
+        # before the slot can be overwritten.  On the CPU backend
+        # device_put is zero-copy, so the prefetcher would have to copy
+        # each ringed batch up front — a net loss; skip the ring there.
+        import jax as _jax
+        reuse = _jax.default_backend() != "cpu"
+        pf_kwargs = {"sync_transfers": reuse}
 
         def raw_batches(idx, bs, shuffle):
             return src.batches(idx, bs, shuffle=shuffle,
                                seed=args.seed + (next(epoch) if shuffle
                                                  else 0),
-                               drop_last=shuffle, reuse_buffers=True)
+                               drop_last=shuffle, reuse_buffers=reuse)
     return sig, raw_batches, tr_idx, va_idx, eeg_kwargs, pf_kwargs
 
 

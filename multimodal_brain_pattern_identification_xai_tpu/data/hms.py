@@ -277,7 +277,7 @@ class MultimodalSource:
         ring = None
         if reuse_buffers:
             c, t = self._eeg_stack.shape[1], self._eeg_stack.shape[2]
-            f = self._spec_buf.shape[1] if self._spec_buf.size else 400
+            f = self._spec_buf.shape[1]
             ring = [(np.empty((batch_size, c, t), np.float32),
                      np.empty((batch_size, f, self.spec_width), np.float32))
                     for _ in range(2)]

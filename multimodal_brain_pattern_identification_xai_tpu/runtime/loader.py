@@ -70,19 +70,8 @@ def gather_windows(src: np.ndarray, idx: np.ndarray,
     ``src``: (N, C, T) float32 contiguous.  Numpy fallback when the native
     library is unavailable.
     """
-    src = np.ascontiguousarray(src, np.float32)
-    idx = np.ascontiguousarray(idx, np.int64)
-    B, C, T = len(idx), src.shape[1], src.shape[2]
-    lib = _load_lib()
-    if lib is None:
-        out = src[idx].copy()
-        mean = np.nanmean(out, axis=-1, keepdims=True)
-        mean = np.where(np.isnan(mean), 0.0, mean)
-        return np.where(np.isnan(out), mean, out)
-    out = np.empty((B, C, T), np.float32)
-    lib.gather_windows(_f32p(src), _i64p(idx), _f32p(out), B, C, T,
-                       int(n_threads))
-    return out
+    out = np.empty((len(idx), src.shape[1], src.shape[2]), np.float32)
+    return gather_windows_into(src, idx, out, n_threads)
 
 
 def gather_windows_into(src: np.ndarray, idx: np.ndarray,
@@ -91,8 +80,12 @@ def gather_windows_into(src: np.ndarray, idx: np.ndarray,
     src = np.ascontiguousarray(src, np.float32)
     idx = np.ascontiguousarray(idx, np.int64)
     B, C, T = len(idx), src.shape[1], src.shape[2]
-    assert out.shape == (B, C, T) and out.dtype == np.float32
-    assert out.flags.c_contiguous
+    # hard checks, not asserts: these guard raw ctypes writes (a bad out
+    # buffer would be silent heap corruption under python -O)
+    if (out.shape != (B, C, T) or out.dtype != np.float32
+            or not out.flags.c_contiguous):
+        raise ValueError(f"out buffer must be C-contiguous float32 "
+                         f"{(B, C, T)}, got {out.dtype} {out.shape}")
     lib = _load_lib()
     if lib is None:
         np.take(src, idx, axis=0, out=out)
@@ -138,9 +131,16 @@ def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
     F = spec_buf.shape[1]
     if out is not None:
         eeg, spec = out
-        assert eeg.shape == (B, C, T) and eeg.dtype == np.float32
-        assert spec.shape == (B, F, width) and spec.dtype == np.float32
-        assert eeg.flags.c_contiguous and spec.flags.c_contiguous
+        # hard checks, not asserts: these guard raw ctypes writes (a bad
+        # out buffer would be silent heap corruption under python -O)
+        if (eeg.shape != (B, C, T) or eeg.dtype != np.float32
+                or spec.shape != (B, F, width) or spec.dtype != np.float32
+                or not eeg.flags.c_contiguous
+                or not spec.flags.c_contiguous):
+            raise ValueError(
+                f"out buffers must be C-contiguous float32 {(B, C, T)} / "
+                f"{(B, F, width)}, got {eeg.dtype} {eeg.shape} / "
+                f"{spec.dtype} {spec.shape}")
     lib = _load_lib()
     if lib is None:
         if out is None:

@@ -128,6 +128,11 @@ def test_batch_queue_pop_ring_matches_fresh(rng):
                                                  seed=9, n_workers=3,
                                                  pop_ring=3)]
     assert len(fresh) == len(ringed) == 5
+    # workers push completed batches in completion order, which is
+    # scheduling-dependent — compare the batch *sets*, not positions
+    # (same seed → both runs produce bit-identical batch contents)
+    fresh.sort(key=lambda bb: bb["x"].tobytes())
+    ringed.sort(key=lambda bb: bb["x"].tobytes())
     for a, bb in zip(fresh, ringed):
         np.testing.assert_array_equal(a["x"], bb["x"])
         np.testing.assert_array_equal(a["y"], bb["y"])
@@ -139,13 +144,15 @@ def test_batch_queue_pop_ring_numpy_fallback(monkeypatch, rng):
     x = rng.standard_normal((16, 2, 10)).astype(np.float32)
     x[3, 1, 2:5] = np.nan
     y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 16)]
+    # n_workers=1 so native emission order is deterministic (sequential)
+    # and positional comparison against the sequential fallback is valid
     native = [{k: v.copy() for k, v in bb.items()}
               for bb in runtime.NativeBatchQueue(x, y, 4, shuffle=False,
-                                                 pop_ring=2)]
+                                                 pop_ring=2, n_workers=1)]
     monkeypatch.setattr(loader, "_load_lib", lambda: None)
     fallback = [{k: v.copy() for k, v in bb.items()}
                 for bb in runtime.NativeBatchQueue(x, y, 4, shuffle=False,
-                                                   pop_ring=2)]
+                                                   pop_ring=2, n_workers=1)]
     for a, bb in zip(native, fallback):
         np.testing.assert_allclose(a["x"], bb["x"], rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(a["y"], bb["y"])
