@@ -424,7 +424,11 @@ def bench_diffeeg_train() -> None:
     import multimodal_brain_pattern_identification_xai_tpu.config as C
     from multimodal_brain_pattern_identification_xai_tpu import models, train
 
-    cfg = C.DiffEEGConfig(batch_size=int(os.environ.get("BENCH_BATCH", 64)))
+    # BENCH_FUSE=f folds f accumulation micro-batches into each scanned
+    # fwd/bwd pass (DiffEEGConfig.fuse_accum) — same averaged gradient,
+    # f× larger MXU batches for the small (~350k-param) denoiser
+    cfg = C.DiffEEGConfig(batch_size=int(os.environ.get("BENCH_BATCH", 64)),
+                          fuse_accum=int(os.environ.get("BENCH_FUSE", 1)))
     model = models.DiffEEG(n_channels=cfg.n_channels,
                            hidden=cfg.hidden_channels)
     trainer = train.DiffEEGTrainer(model, cfg, ckpt_dir=None, seed=0)

@@ -180,6 +180,7 @@ def cmd_train_wavenet(args) -> int:
             model, (x[:2],), tx, jax.random.PRNGKey(args.seed))
         tc = train.TrainerConfig(epochs=epochs, seed=args.seed,
                                  resume=args.resume,
+                                 hyperparams={"optimizer": "adam"},
                                  lr_schedule=train.cosine_schedule_with_warmup(
                                      10, epochs * max(1, len(x) // bs),
                                      cfg.trainer.lr))
@@ -332,7 +333,8 @@ def cmd_train_multimodal(args) -> int:
             seed=args.seed))
 
     tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed,
-                             resume=args.resume)
+                             resume=args.resume,
+                             hyperparams={"optimizer": "adam"})
     trainer = train.Trainer(state, tc,
                             ckpt_dir=f"{args.ckpt_dir}/multimodal",
                             epoch_callbacks=callbacks)
@@ -426,6 +428,7 @@ def _train_branch(args, which: str) -> int:
     # the LR with ReduceLROnPlateau (:1340)
     tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed,
                              resume=args.resume, l2_lambda=1e-3,
+                             hyperparams={"optimizer": "adam"},
                              plateau=train.ReduceLROnPlateau(
                                  cfg.trainer.lr))
     trainer = train.Trainer(state, tc, ckpt_dir=f"{args.ckpt_dir}/{which}")

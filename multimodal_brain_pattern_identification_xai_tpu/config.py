@@ -179,6 +179,13 @@ class DiffEEGConfig:
     #: the recompute is pure overhead — off by default, flip on for
     #: memory-constrained configs
     remat: bool = False
+    #: fuse this many accumulation micro-batches into one fwd/bwd
+    #: (must divide gradient_accumulate_every).  The averaged gradient is
+    #: mathematically identical — mean over K micro-means = mean over K/f
+    #: fused means at equal micro sizes — but the denoiser is small
+    #: (~350k params), so B=64 under-fills the MXU; fusing raises per-pass
+    #: batch to f·B.  1 = the reference's exact accumulation grouping.
+    fuse_accum: int = 1
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,34 @@ class CheckpointManager:
             if os.path.exists(meta_f):
                 os.remove(meta_f)
 
+    def divert_on_change(self, hyperparams: Dict[str, Any]) -> "CheckpointManager":
+        """Hyperparameter-change guard (reference
+        ``detect_and_save_checkpoint``, data_utils.py:291-311): the
+        reference renames the checkpoint file when the optimizer type or
+        regularization lambda differs from the last run so resume never
+        mixes incompatible training states.  Here the fingerprint of the
+        run's hyperparameters is stored alongside the stream; on mismatch
+        the manager diverts to a fresh ``<dir>_<changed-keys>`` directory
+        (and records the new fingerprint there) instead of resuming."""
+        path = os.path.join(self.ckpt_dir, "hyperparams.json")
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                json.dump(hyperparams, f)
+            return self
+        with open(path) as f:
+            prev = json.load(f)
+        changed = sorted(k for k in set(prev) | set(hyperparams)
+                         if prev.get(k) != hyperparams.get(k))
+        if not changed:
+            return self
+        fresh = CheckpointManager(
+            self.ckpt_dir + "_" + "_".join(changed), self.ckpt_metric,
+            "max" if self.direction < 0 else "min", self.keep)
+        with open(os.path.join(fresh.ckpt_dir, "hyperparams.json"),
+                  "w") as f:
+            json.dump(hyperparams, f)
+        return fresh
+
     def load_meta(self, name: str) -> Optional[Dict]:
         """Sidecar metadata saved alongside a snapshot (epoch counter,
         history, best-score bookkeeping — the resume payload of the

@@ -102,6 +102,18 @@ class DiffEEGTrainer:
                        xs: jnp.ndarray, ys: jnp.ndarray):
             """One optimizer step over K stacked micro-batches
             (K = gradient_accumulate_every)."""
+            f = cfg.fuse_accum
+            if f > 1:
+                # fold f micro-batches into each scanned fwd/bwd pass:
+                # same averaged gradient, f× larger MXU batches
+                if xs.shape[0] % f:
+                    raise ValueError(
+                        f"fuse_accum={f} must divide the number of "
+                        f"accumulation micro-batches {xs.shape[0]}")
+                xs = xs.reshape(xs.shape[0] // f, f * xs.shape[1],
+                                *xs.shape[2:])
+                ys = ys.reshape(ys.shape[0] // f, f * ys.shape[1],
+                                *ys.shape[2:])
             K = xs.shape[0]
             keys = jax.random.split(key, K)
 

@@ -44,6 +44,12 @@ class TrainerConfig:
     #: reference's ``load_checkpoint`` start_epoch + history resume,
     #: data_utils.py:256-311)
     resume: bool = False
+    #: extra run-identity keys (e.g. optimizer name, lr) merged with
+    #: l2_lambda into the checkpoint stream's hyperparameter fingerprint;
+    #: on mismatch with an existing stream the manager diverts to a fresh
+    #: directory (reference detect_and_save_checkpoint,
+    #: data_utils.py:291-311)
+    hyperparams: Optional[Dict[str, Any]] = None
 
 
 class Trainer:
@@ -63,6 +69,9 @@ class Trainer:
         self.ckpt = (CheckpointManager(ckpt_dir, cfg.ckpt_metric,
                                        cfg.ckpt_mode)
                      if ckpt_dir else None)
+        if self.ckpt is not None:
+            self.ckpt = self.ckpt.divert_on_change(
+                {"l2_lambda": cfg.l2_lambda, **(cfg.hyperparams or {})})
         self.loggers = loggers or []
         self.history: Dict[str, List[float]] = {"train_loss": [],
                                                 "val_loss": []}

@@ -110,3 +110,38 @@ def test_diffeeg_trainer_smoke(tmp_path, rng):
     assert len(hist["loss"]) == 3
     assert all(np.isfinite(l) for l in hist["loss"])
     assert hist["eval"] and {"mmd", "frechet", "pearson"} <= set(hist["eval"][0])
+
+
+def test_diffeeg_fused_accum_trains(rng):
+    """fuse_accum folds f micro-batches into each scanned fwd/bwd pass
+    (same averaged gradient at equal micro sizes; f× larger MXU batches).
+    The fused trainer must run and its loss magnitude match the unfused
+    trainer's on identical data (not bitwise — mixup pairing pools and
+    per-pass keys differ by construction)."""
+    from multimodal_brain_pattern_identification_xai_tpu.models import DiffEEG
+    import dataclasses
+    base = C.DiffEEGConfig(n_channels=4, input_length=128, hidden_channels=8,
+                           n_diffusion_steps=8, gradient_accumulate_every=4,
+                           batch_size=4, evaluate_every=100,
+                           save_and_sample_every=100, min_steps=1,
+                           stft_n_fft=32, stft_noverlap=16)
+    xs = jnp.asarray(rng.standard_normal((4, 4, 4, 128)), jnp.float32)
+    ys = jnp.asarray(np.eye(6, dtype=np.float32)[
+        rng.integers(0, 6, (4, 4))])
+    losses = {}
+    for f in (1, 2):
+        cfg = dataclasses.replace(base, fuse_accum=f)
+        tr = train.DiffEEGTrainer(DiffEEG(n_channels=4, hidden=8), cfg,
+                                  ckpt_dir=None, seed=0)
+        _, _, loss = tr._train_step(tr.state, tr.ema,
+                                    jax.random.PRNGKey(3), xs, ys)
+        losses[f] = float(loss)
+    assert np.isfinite(losses[1]) and np.isfinite(losses[2])
+    # both are MSE of unit-variance noise prediction at init → ~1
+    assert abs(losses[1] - losses[2]) < 0.3
+
+    bad = dataclasses.replace(base, fuse_accum=3)   # 3 ∤ 4
+    tr = train.DiffEEGTrainer(DiffEEG(n_channels=4, hidden=8), bad,
+                              ckpt_dir=None, seed=0)
+    with pytest.raises(ValueError, match="fuse_accum"):
+        tr._train_step(tr.state, tr.ema, jax.random.PRNGKey(3), xs, ys)

@@ -2,6 +2,8 @@
 schedules vs reference math, jitted step + trainer loop smoke, checkpoint
 roundtrip, determinism (SURVEY.md §4, §5.2)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -244,6 +246,30 @@ def test_trainer_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     assert best_b == pytest.approx(best_a)
     np.testing.assert_array_equal(oof_a, oof_b)
+
+
+def test_ckpt_diverts_on_hyperparam_change(tmp_path, rng):
+    """Hyperparameter-change guard (reference detect_and_save_checkpoint,
+    data_utils.py:291-311): a trainer pointed at an existing checkpoint
+    stream with a different l2_lambda/optimizer fingerprint gets a fresh
+    suffixed directory instead of resuming incompatible state; the same
+    fingerprint keeps the original stream."""
+    _, state, batch = _tiny_setup(rng)
+    d = str(tmp_path / "ck")
+    mk = lambda lam, opt: train.Trainer(
+        state, train.TrainerConfig(epochs=1, l2_lambda=lam,
+                                   hyperparams={"optimizer": opt}),
+        ckpt_dir=d)
+    a = mk(0.0, "adam")
+    assert a.ckpt.ckpt_dir == os.path.abspath(d)
+    # same fingerprint → same stream
+    assert mk(0.0, "adam").ckpt.ckpt_dir == os.path.abspath(d)
+    b = mk(1e-3, "adam")
+    assert b.ckpt.ckpt_dir == os.path.abspath(d) + "_l2_lambda"
+    c = mk(1e-3, "sgd")
+    assert c.ckpt.ckpt_dir == os.path.abspath(d) + "_l2_lambda_optimizer"
+    # the diverted stream records ITS fingerprint: reusing it is stable
+    assert mk(1e-3, "adam").ckpt.ckpt_dir == b.ckpt.ckpt_dir
 
 
 @pytest.mark.slow
