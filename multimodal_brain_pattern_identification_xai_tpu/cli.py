@@ -162,12 +162,12 @@ def cmd_train_wavenet(args) -> int:
     epochs = args.epochs or 3
 
     def make_loaders(tr, va):
-        epoch = itertools.count()            # fresh permutation per epoch
-
-        def tl():
+        # epoch-keyed shuffle seed (not a call counter): --resume replays
+        # the permutation the uninterrupted run would use at that epoch
+        def tl(epoch=0):
             return data.batch_iterator({"x": x[tr], "y": y[tr]}, bs,
                                        shuffle=True,
-                                       seed=args.seed + next(epoch))
+                                       seed=args.seed + epoch)
         def vl():
             return data.batch_iterator({"x": x[va], "y": y[va]}, bs,
                                        drop_last=False)
@@ -198,15 +198,16 @@ def _multimodal_data(args, cfg):
     """Demo-or-real data plumbing shared by ``train-multimodal`` and the
     branch-pretraining commands: returns ``(sig, raw_batches, tr_idx,
     va_idx, eeg_kwargs, pf_kwargs)`` where ``raw_batches(idx, bs,
-    shuffle)`` yields raw {"eeg", "spec", "y"} host batches (fold 0 of
-    the notebook's StratifiedKFold, XAI_Multimodality.py:539-571) and
+    shuffle, epoch=0, want=("eeg","spec"))`` yields raw host batches of
+    the requested modalities plus ``y`` (fold 0 of the notebook's
+    StratifiedKFold, XAI_Multimodality.py:539-571), with the shuffle
+    permutation keyed on the epoch number (resume-stable), and
     ``pf_kwargs`` must be splatted into every ``prefetch_to_device``
     consuming them (the real path reuses gather buffers, which requires
     synced transfers)."""
     from . import config as C, data, train
 
     rng = np.random.default_rng(args.seed)
-    epoch = itertools.count()                # fresh permutation per epoch
     if args.demo:
         n = 24
         sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
@@ -218,11 +219,14 @@ def _multimodal_data(args, cfg):
 
         pf_kwargs = {}
 
-        def raw_batches(idx, bs, shuffle):
+        def raw_batches(idx, bs, shuffle, epoch=0, want=("eeg", "spec")):
+            arrays = {k: v[idx] for k, v in
+                      (("eeg", raw_eeg), ("spec", raw_spec))
+                      if k in want}
+            arrays["y"] = y[idx]
             return data.batch_iterator(
-                {"eeg": raw_eeg[idx], "spec": raw_spec[idx], "y": y[idx]},
-                bs, shuffle=shuffle,
-                seed=args.seed + (next(epoch) if shuffle else 0))
+                arrays, bs, shuffle=shuffle,
+                seed=args.seed + (epoch if shuffle else 0))
     else:
         src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
                                      n_workers=args.workers,
@@ -246,11 +250,11 @@ def _multimodal_data(args, cfg):
         reuse = _jax.default_backend() != "cpu"
         pf_kwargs = {"sync_transfers": reuse}
 
-        def raw_batches(idx, bs, shuffle):
+        def raw_batches(idx, bs, shuffle, epoch=0, want=("eeg", "spec")):
             return src.batches(idx, bs, shuffle=shuffle,
-                               seed=args.seed + (next(epoch) if shuffle
-                                                 else 0),
-                               drop_last=shuffle, reuse_buffers=reuse)
+                               seed=args.seed + (epoch if shuffle else 0),
+                               drop_last=shuffle, reuse_buffers=reuse,
+                               want=want)
     return sig, raw_batches, tr_idx, va_idx, eeg_kwargs, pf_kwargs
 
 
@@ -280,16 +284,17 @@ def cmd_train_multimodal(args) -> int:
         e, s, signal=sig, assume_finite=not args.demo))
     aug = jax.jit(ops.spectrogram_augment)
     aug_key = jax.random.PRNGKey(args.seed + 1)
-    counter = itertools.count()
 
     mirror = jax.jit(ops.mirror_eeg)
 
-    def train_iter():
+    def train_iter(epoch=0):
         # background-thread prefetch: host-side gather (parquet decode /
         # crop — pyarrow releases the GIL) of batch N+1 overlaps the
         # device preprocess + train step of batch N
-        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True),
-                                             **pf_kwargs):
+        ep_key = jax.random.fold_in(aug_key, epoch)
+        for i, batch in enumerate(
+                data.prefetch_to_device(raw_batches(tr_idx, bs, True, epoch),
+                                        **pf_kwargs)):
             eeg_raw = batch["eeg"]
             if cfg.augment:
                 # CFG.AUGMENT parity: left/right hemisphere mirror applied
@@ -298,8 +303,9 @@ def cmd_train_multimodal(args) -> int:
             e, s = pp(eeg_raw, batch["spec"])
             yb = batch["y"]
             # in-batch reference pool for MixUp (the reference sweeps the
-            # train loader once to build it; same distribution)
-            key = jax.random.fold_in(aug_key, next(counter))
+            # train loader once to build it; same distribution); keyed on
+            # (epoch, batch index) so --resume replays the same draws
+            key = jax.random.fold_in(ep_key, i)
             s, yb = aug(key, s, yb, s, yb)
             yield {"eeg": e, "spec": s, "y": yb}
 
@@ -405,20 +411,24 @@ def _train_branch(args, which: str) -> int:
         pp = jax.jit(lambda s: ops.hms_spectrogram_preprocess(s, signal=sig))
         key_name = "spec"
 
-    def train_iter():
-        for batch in data.prefetch_to_device(raw_batches(tr_idx, bs, True),
-                                             **pf_kwargs):
+    # single-modality gather: the host skips assembling (and the
+    # prefetcher skips H2D-copying) the other branch's raw batch entirely
+    def train_iter(epoch=0):
+        for batch in data.prefetch_to_device(
+                raw_batches(tr_idx, bs, True, epoch, want=(key_name,)),
+                **pf_kwargs):
             raw = batch[key_name]
             if which == "eeg" and cfg.augment:
                 raw = mirror(raw)            # CFG.AUGMENT hemisphere swap
             yield {"x": pp(raw), "y": batch["y"]}
 
     def val_iter():
-        for batch in data.prefetch_to_device(raw_batches(va_idx, bs, False),
-                                             **pf_kwargs):
+        for batch in data.prefetch_to_device(
+                raw_batches(va_idx, bs, False, want=(key_name,)),
+                **pf_kwargs):
             yield {"x": pp(batch[key_name]), "y": batch["y"]}
 
-    fb = next(raw_batches(va_idx, bs, False))
+    fb = next(raw_batches(va_idx, bs, False, want=(key_name,)))
     first_x = pp(jnp.asarray(fb[key_name]))
     state = train.create_train_state(
         model, (first_x[:2],), train.state.make_optimizer(cfg.trainer.lr),
@@ -471,12 +481,15 @@ def cmd_train_diffeeg(args) -> int:
                               min_steps=args.epochs or 20,
                               stft_n_fft=32, stft_noverlap=16)
 
-        def batches():
-            while True:
-                x = rng.standard_normal(
+        def batches(start=0):
+            # micro-batch i is a pure function of (seed, i): a resumed run
+            # continues the same stream where the interrupted one stopped
+            for i in itertools.count(start):
+                g = np.random.default_rng((args.seed, i))
+                x = g.standard_normal(
                     (cfg.batch_size, 4, 256)).astype(np.float32)
                 y = np.eye(6, dtype=np.float32)[
-                    rng.integers(0, 6, cfg.batch_size)]
+                    g.integers(0, 6, cfg.batch_size)]
                 yield x, y
 
         val = [(rng.standard_normal((4, 4, 256)).astype(np.float32),
@@ -511,22 +524,35 @@ def cmd_train_diffeeg(args) -> int:
             xtr = np.ascontiguousarray(x[tr])
             ytr = np.ascontiguousarray(y[tr])
 
-            def batches():
+            def batches(start=0):
                 # pop_ring: the trainer holds gradient_accumulate_every
                 # micro-batches before stacking them for one step, so the
                 # reuse ring must exceed that (+ queue slack)
                 ring = cfg.gradient_accumulate_every + 8
-                for ep in itertools.count():
+                # resume fast-forward: `start` micro-batches were already
+                # consumed — skip whole epochs by seed, then discard the
+                # in-epoch remainder (queue order is deterministic: the
+                # C++ workers publish in sequence order)
+                bpe = max(1, len(xtr) // cfg.batch_size)
+                ep0, off = divmod(start, bpe)
+                for ep in itertools.count(ep0):
                     q = runtime.NativeBatchQueue(
                         xtr, ytr, cfg.batch_size, shuffle=True,
                         seed=args.seed + ep, n_workers=2, pop_ring=ring)
-                    for b in q:
+                    it = iter(q)
+                    if ep == ep0 and off:
+                        for _ in range(off):
+                            next(it, None)
+                    for b in it:
                         yield b["x"], b["y"]
         else:
-            def batches():
-                while True:
-                    i = rng.choice(tr, size=cfg.batch_size)
-                    yield x[i], y[i]
+            def batches(start=0):
+                # micro-batch i is a pure function of (seed, i) — resume
+                # continues the stream instead of replaying it
+                for i in itertools.count(start):
+                    g = np.random.default_rng((args.seed, i))
+                    sel = g.choice(tr, size=cfg.batch_size)
+                    yield x[sel], y[sel]
 
         val = [(x[va[s:s + cfg.batch_size]], y[va[s:s + cfg.batch_size]])
                for s in range(0, min(len(va), 4 * cfg.batch_size),
@@ -645,17 +671,19 @@ def cmd_xai(args) -> int:
         cfg = _load_cfg(args)
         src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
                                      n_workers=args.workers)
-        n = min(args.limit or 32, len(src))
-        batch = src.gather(np.arange(n))
+        # explained batch from the fold-0 VAL split, SHAP background from
+        # the TRAIN split (XAI_Multimodality.py:2242-2254) — disjoint by
+        # construction, so the explained samples are never their own
+        # background and --channel-retrain sees no duplicated rows
+        labels = np.asarray([C.NAME2LABEL[c]
+                             for c in src.meta["expert_consensus"]])
+        tr_idx, va_idx = train.stratified_kfold(labels, n_splits=cfg.n_folds,
+                                                seed=args.seed)[0]
+        n = min(args.limit or 32, len(va_idx))
+        batch = src.gather(np.asarray(va_idx[:n]))
         eeg_in, spec_in = ops.preprocess_multimodal(
             jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]),
             assume_finite=True)
-        # SHAP background: ~100 samples drawn from the fold-0 TRAIN split
-        # (XAI_Multimodality.py:2242-2254), not the explained batch
-        labels = np.asarray([C.NAME2LABEL[c]
-                             for c in src.meta["expert_consensus"]])
-        tr_idx, _ = train.stratified_kfold(labels, n_splits=cfg.n_folds,
-                                           seed=args.seed)[0]
         bg_rows = tr_idx[:min(100, len(tr_idx))]
         bg = src.gather(np.asarray(bg_rows))
         eeg_bg = ops.hms_eeg_preprocess(jnp.asarray(bg["eeg"]),
@@ -710,7 +738,8 @@ def cmd_xai(args) -> int:
             epochs=args.epochs or 2,
             batch_size=args.batch_size or 8, seed=args.seed,
             model_kwargs=dict(samples=int(eeg_in.shape[-1]),
-                              kern_length=16 if args.demo else 64))
+                              kern_length=16 if args.demo else 64),
+            ckpt_dir=os.path.join(args.ckpt_dir, "channel_retrain"))
         print(f"channel-retrain: top-{args.channel_retrain} channels "
               f"{[names[i] for i in rep['top_channels']]} "
               f"(class {rep['positive_class']} one-vs-rest): "

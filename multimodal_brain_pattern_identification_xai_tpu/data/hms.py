@@ -240,23 +240,36 @@ class MultimodalSource:
         return len(self.meta)
 
     def gather(self, rows: np.ndarray,
-               out: Optional[Tuple[np.ndarray, np.ndarray]] = None
+               out: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+               want: Sequence[str] = ("eeg", "spec")
                ) -> Dict[str, np.ndarray]:
-        """Assemble one raw batch for the given row indices (native)."""
+        """Assemble one raw batch for the given row indices (native).
+
+        ``want`` selects the modalities to gather — a branch-pretraining
+        run requesting only ``("spec",)`` skips the ~B·20·10000·4-byte
+        strided EEG copy entirely (and vice versa); the returned dict
+        contains only the requested keys plus ``y``.
+        """
         rows = np.asarray(rows, np.int64)
         eeg, spec = self._gather_native(
             self._eeg_stack, self._eeg_row2u[rows], self._spec_buf,
             self._spec_off, self._spec_len, self._spec_row2u[rows],
             self._crop_start[rows], width=self.spec_width,
-            n_threads=self.n_threads, out=out)
-        return {"eeg": eeg, "spec": spec, "y": self.y[rows]}
+            n_threads=self.n_threads, out=out, want=want)
+        res = {"y": self.y[rows]}
+        if "eeg" in want:
+            res["eeg"] = eeg
+        if "spec" in want:
+            res["spec"] = spec
+        return res
 
     def batches(self, rows: np.ndarray, batch_size: int,
                 shuffle: bool = False, seed: int = 0,
                 drop_last: bool = True,
-                reuse_buffers: bool = False
+                reuse_buffers: bool = False,
+                want: Sequence[str] = ("eeg", "spec")
                 ) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield raw batches.
+        """Yield raw batches of the ``want`` modalities (+ ``y``).
 
         ``reuse_buffers=True`` cycles a 2-slot ring of preallocated
         ``(eeg, spec)`` output pairs instead of allocating ~330 MB of
@@ -278,14 +291,17 @@ class MultimodalSource:
         if reuse_buffers:
             c, t = self._eeg_stack.shape[1], self._eeg_stack.shape[2]
             f = self._spec_buf.shape[1]
-            ring = [(np.empty((batch_size, c, t), np.float32),
-                     np.empty((batch_size, f, self.spec_width), np.float32))
+            # unrequested modalities get no ring allocation either
+            ring = [(np.empty((batch_size, c, t), np.float32)
+                     if "eeg" in want else None,
+                     np.empty((batch_size, f, self.spec_width), np.float32)
+                     if "spec" in want else None)
                     for _ in range(2)]
         for k, s in enumerate(range(0, stop, batch_size)):
             sel = rows[s:s + batch_size]
             out = ring[k % 2] if ring is not None and len(sel) == batch_size \
                 else None
-            yield self.gather(sel, out=out)
+            yield self.gather(sel, out=out, want=want)
 
 
 def multimodal_source(paths: "C.PathsConfig", cache_dir: str,

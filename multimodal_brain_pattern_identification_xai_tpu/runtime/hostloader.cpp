@@ -101,6 +101,9 @@ void gather_windows(const float* src, const int64_t* idx, float* out,
 //   spec_idx:   (batch,) plane index per batch row
 //   crop_start: (batch,) first time-row of the crop (pre-clamped)
 //   spec_out:   (batch, n_freq, width) float32
+//
+// Either output pointer may be null to skip that modality entirely (a
+// single-branch training run must not pay the other branch's copy).
 // ---------------------------------------------------------------------------
 void gather_multimodal(const float* eeg_src, const int64_t* eeg_idx,
                        const float* spec_buf, const int64_t* spec_off,
@@ -113,9 +116,11 @@ void gather_multimodal(const float* eeg_src, const int64_t* eeg_idx,
   const int64_t spec_stride = n_freq * width;
   auto work = [&](int64_t begin, int64_t end) {
     for (int64_t i = begin; i < end; ++i) {
-      std::memcpy(eeg_out + i * eeg_stride,
-                  eeg_src + eeg_idx[i] * eeg_stride,
-                  sizeof(float) * eeg_stride);
+      if (eeg_out)
+        std::memcpy(eeg_out + i * eeg_stride,
+                    eeg_src + eeg_idx[i] * eeg_stride,
+                    sizeof(float) * eeg_stride);
+      if (!spec_out) continue;
       const int64_t s = spec_idx[i];
       const float* plane = spec_buf + spec_off[s] * n_freq;  // (rows, F)
       const int64_t rows = spec_len[s];
@@ -173,6 +178,11 @@ struct BatchQueue {
   int64_t n_batches = 0;
 
   std::queue<std::pair<std::vector<float>, std::vector<float>>> ready;
+  // batches are pushed in sequence order (workers gather concurrently but
+  // wait their turn to publish): the consumer sees exactly the epoch
+  // permutation's batch order regardless of worker count — deterministic
+  // data streams are what make bitwise checkpoint-resume possible
+  int64_t next_push = 0;
   // freelist of retired batch buffers: reusing them caps the resident
   // set at ~(capacity + workers) buffers and — more importantly on a
   // cgroup-limited host — avoids paying first-touch page faults and
@@ -207,10 +217,14 @@ struct BatchQueue {
         std::memcpy(ybuf.data() + i * n_classes,
                     labels + idx[i] * n_classes, sizeof(float) * n_classes);
       std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [&] { return ready.size() < capacity || stop.load(); });
+      cv_space.wait(lk, [&] {
+        return (b == next_push && ready.size() < capacity) || stop.load();
+      });
       if (stop.load()) break;
       ready.emplace(std::move(xbuf), std::move(ybuf));
+      ++next_push;
       cv_ready.notify_one();
+      cv_space.notify_all();      // wake the worker holding batch b+1
     }
     if (active_workers.fetch_sub(1) == 1) cv_ready.notify_all();
   }
@@ -247,7 +261,9 @@ int bq_next(void* handle, float* x_out, float* y_out) {
   if (q->ready.empty()) return 0;
   auto item = std::move(q->ready.front());
   q->ready.pop();
-  q->cv_space.notify_one();
+  // notify_all: with ordered publishing only the worker holding the
+  // next_push batch may proceed — notify_one could wake a different one
+  q->cv_space.notify_all();
   lk.unlock();
   std::memcpy(x_out, item.first.data(), item.first.size() * sizeof(float));
   std::memcpy(y_out, item.second.data(), item.second.size() * sizeof(float));

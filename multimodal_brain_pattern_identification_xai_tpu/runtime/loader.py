@@ -7,7 +7,7 @@ import functools
 import os
 import subprocess
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -103,22 +103,28 @@ def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
                       spec_len: np.ndarray, spec_idx: np.ndarray,
                       crop_start: np.ndarray, width: int = 300,
                       n_threads: int = 4,
-                      out: Optional[Tuple[np.ndarray, np.ndarray]] = None
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+                      out: Optional[Tuple[Optional[np.ndarray],
+                                          Optional[np.ndarray]]] = None,
+                      want: Sequence[str] = ("eeg", "spec")
+                      ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """Assemble one combined EEG+spectrogram raw batch from resident
     stores (the native half of ``MultimodalSource.gather``): strided EEG
     copy + ragged spectrogram crop/transpose/pad.
 
     ``eeg_src``: (U, C, T); ``spec_buf``: concatenated (rows_i, F) planes.
-    Returns ``(eeg (B, C, T), spec (B, F, width))``.  Numpy fallback when
-    the native library is unavailable.
+    Returns ``(eeg (B, C, T), spec (B, F, width))``; a modality absent
+    from ``want`` is skipped entirely (no copy, no allocation — the C
+    side takes a null output pointer) and returned as None.  Numpy
+    fallback when the native library is unavailable.
 
     ``out``: optional preallocated ``(eeg_out, spec_out)`` pair, filled
-    and returned instead of fresh arrays.  Reusing buffers across batches
-    skips ~330 MB of first-touch page faults per call (measured 2.1× on
-    the gather) — the caller owns the aliasing contract (see
+    and returned instead of fresh arrays (entries for unwanted modalities
+    may be None).  Reusing buffers across batches skips ~330 MB of
+    first-touch page faults per call (measured 2.1× on the gather) — the
+    caller owns the aliasing contract (see
     ``MultimodalSource.batches(reuse_buffers=True)``).
     """
+    want_eeg, want_spec = "eeg" in want, "spec" in want
     eeg_src = np.ascontiguousarray(eeg_src, np.float32)
     spec_buf = np.ascontiguousarray(spec_buf, np.float32)
     eeg_idx = np.ascontiguousarray(eeg_idx, np.int64)
@@ -129,39 +135,46 @@ def gather_multimodal(eeg_src: np.ndarray, eeg_idx: np.ndarray,
     B = len(eeg_idx)
     C, T = eeg_src.shape[1], eeg_src.shape[2]
     F = spec_buf.shape[1]
+    eeg = spec = None
     if out is not None:
         eeg, spec = out
         # hard checks, not asserts: these guard raw ctypes writes (a bad
         # out buffer would be silent heap corruption under python -O)
-        if (eeg.shape != (B, C, T) or eeg.dtype != np.float32
-                or spec.shape != (B, F, width) or spec.dtype != np.float32
-                or not eeg.flags.c_contiguous
-                or not spec.flags.c_contiguous):
+        if want_eeg and (eeg is None or eeg.shape != (B, C, T)
+                         or eeg.dtype != np.float32
+                         or not eeg.flags.c_contiguous):
             raise ValueError(
-                f"out buffers must be C-contiguous float32 {(B, C, T)} / "
-                f"{(B, F, width)}, got {eeg.dtype} {eeg.shape} / "
-                f"{spec.dtype} {spec.shape}")
+                f"eeg out buffer must be C-contiguous float32 {(B, C, T)}, "
+                f"got {None if eeg is None else (eeg.dtype, eeg.shape)}")
+        if want_spec and (spec is None or spec.shape != (B, F, width)
+                          or spec.dtype != np.float32
+                          or not spec.flags.c_contiguous):
+            raise ValueError(
+                f"spec out buffer must be C-contiguous float32 "
+                f"{(B, F, width)}, got "
+                f"{None if spec is None else (spec.dtype, spec.shape)}")
+    if out is None:
+        eeg = np.empty((B, C, T), np.float32) if want_eeg else None
+        spec = np.empty((B, F, width), np.float32) if want_spec else None
     lib = _load_lib()
     if lib is None:
-        if out is None:
-            eeg = np.empty((B, C, T), np.float32)
-            spec = np.empty((B, F, width), np.float32)
-        np.take(eeg_src, eeg_idx, axis=0, out=eeg)
-        spec[:] = 0.0
-        for i in range(B):
-            s = spec_idx[i]
-            plane = spec_buf[spec_off[s]:spec_off[s] + spec_len[s]]
-            start = crop_start[i]
-            avail = max(0, min(width, spec_len[s] - start))
-            if avail:
-                spec[i, :, :avail] = plane[start:start + avail].T
+        if want_eeg:
+            np.take(eeg_src, eeg_idx, axis=0, out=eeg)
+        if want_spec:
+            spec[:] = 0.0
+            for i in range(B):
+                s = spec_idx[i]
+                plane = spec_buf[spec_off[s]:spec_off[s] + spec_len[s]]
+                start = crop_start[i]
+                avail = max(0, min(width, spec_len[s] - start))
+                if avail:
+                    spec[i, :, :avail] = plane[start:start + avail].T
         return eeg, spec
-    if out is None:
-        eeg = np.empty((B, C, T), np.float32)
-        spec = np.empty((B, F, width), np.float32)
     lib.gather_multimodal(_f32p(eeg_src), _i64p(eeg_idx), _f32p(spec_buf),
                           _i64p(spec_off), _i64p(spec_len), _i64p(spec_idx),
-                          _i64p(crop_start), _f32p(eeg), _f32p(spec),
+                          _i64p(crop_start),
+                          _f32p(eeg) if want_eeg else None,
+                          _f32p(spec) if want_spec else None,
                           B, C, T, F, width, int(n_threads))
     return eeg, spec
 

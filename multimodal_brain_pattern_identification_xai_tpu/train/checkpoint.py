@@ -12,6 +12,7 @@ Layout under ``ckpt_dir``::
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -90,25 +91,33 @@ class CheckpointManager:
         regularization lambda differs from the last run so resume never
         mixes incompatible training states.  Here the fingerprint of the
         run's hyperparameters is stored alongside the stream; on mismatch
-        the manager diverts to a fresh ``<dir>_<changed-keys>`` directory
-        (and records the new fingerprint there) instead of resuming."""
+        the manager diverts to a fresh ``<dir>_<changed-keys>-<hash>``
+        directory (and records the new fingerprint there) instead of
+        resuming.  The suffix hashes the full fingerprint VALUES, so two
+        runs that differ from the base stream in the same key but with
+        different values land in different streams (they must not mix
+        training states), while re-running an identical fingerprint is
+        stable (same directory every time)."""
+        blob = json.dumps(hyperparams, sort_keys=True, default=repr)
         path = os.path.join(self.ckpt_dir, "hyperparams.json")
         if not os.path.exists(path):
             with open(path, "w") as f:
-                json.dump(hyperparams, f)
+                f.write(blob)
             return self
         with open(path) as f:
             prev = json.load(f)
-        changed = sorted(k for k in set(prev) | set(hyperparams)
-                         if prev.get(k) != hyperparams.get(k))
+        cur = json.loads(blob)        # JSON-normalized (tuples→lists, …)
+        changed = sorted(k for k in set(prev) | set(cur)
+                         if prev.get(k) != cur.get(k))
         if not changed:
             return self
+        tag = hashlib.sha1(blob.encode()).hexdigest()[:6]
         fresh = CheckpointManager(
-            self.ckpt_dir + "_" + "_".join(changed), self.ckpt_metric,
+            f"{self.ckpt_dir}_{'_'.join(changed)}-{tag}", self.ckpt_metric,
             "max" if self.direction < 0 else "min", self.keep)
         with open(os.path.join(fresh.ckpt_dir, "hyperparams.json"),
                   "w") as f:
-            json.dump(hyperparams, f)
+            f.write(blob)
         return fresh
 
     def load_meta(self, name: str) -> Optional[Dict]:

@@ -147,10 +147,20 @@ class DiffEEGTrainer:
         if step is None:
             return None
         tpl = {"state": self.state, "ema": self.ema.params, "rng": self.rng}
-        restored = self.ckpt.restore(f"step_{step}", tpl)
+        try:
+            restored = self.ckpt.restore(f"step_{step}", tpl)
+        except Exception:                                  # noqa: BLE001
+            # checkpoints written before the PRNG key joined the payload
+            # hold only {state, ema}; resume them with the current key
+            # stream rather than hard-failing on the structure mismatch
+            restored = self.ckpt.restore(
+                f"step_{step}", {"state": self.state,
+                                 "ema": self.ema.params})
+            logger.warning("checkpoint step_%d predates rng-in-checkpoint; "
+                           "resuming with a fresh noise stream", step)
         self.state = restored["state"]
         self.ema = self.ema._replace(params=restored["ema"])
-        self.rng = restored["rng"]
+        self.rng = restored.get("rng", self.rng)
         logger.info("resumed DiffEEG trainer at step %d", step)
         return step
 
@@ -161,12 +171,23 @@ class DiffEEGTrainer:
 
         ``batch_iter_factory`` yields ``(x0, y)`` numpy micro-batches;
         the iterator is restarted on exhaustion like the reference's
-        StopIteration handler (:122-126).
+        StopIteration handler (:122-126).  A factory that accepts an
+        argument is called with the number of micro-batches already
+        consumed (``resumed_step × K``) so a resumed run can fast-forward
+        its data stream to where the interrupted one stopped instead of
+        replaying the stream from micro-batch zero.
         """
         cfg = self.cfg
         total = total_steps or cfg.min_steps
         K = cfg.gradient_accumulate_every
-        it = batch_iter_factory()
+        try:
+            import inspect
+            takes_start = bool(
+                inspect.signature(batch_iter_factory).parameters)
+        except (TypeError, ValueError):
+            takes_start = False
+        it = (batch_iter_factory(int(self.state.step) * K) if takes_start
+              else batch_iter_factory())
         history: Dict[str, list] = {"loss": [], "eval": []}
 
         def next_micro():
@@ -174,7 +195,8 @@ class DiffEEGTrainer:
             try:
                 return next(it)
             except StopIteration:
-                it = batch_iter_factory()
+                it = (batch_iter_factory(0) if takes_start
+                      else batch_iter_factory())
                 return next(it)
 
         for step in range(int(self.state.step), total):

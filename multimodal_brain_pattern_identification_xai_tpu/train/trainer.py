@@ -113,11 +113,27 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _epoch_iter(loader: Callable, epoch: int) -> Iterable:
+        """Call a loader factory, passing the epoch number when it accepts
+        one.  Epoch-aware factories key their shuffle/augmentation seeds on
+        the ACTUAL epoch, so a resumed run replays the same data stream an
+        uninterrupted run would see at that epoch (a zero-arg factory with
+        an internal call counter would silently restart its seed stream
+        from zero on resume)."""
+        try:
+            import inspect
+            takes_epoch = bool(inspect.signature(loader).parameters)
+        except (TypeError, ValueError):
+            takes_epoch = False
+        return loader(epoch) if takes_epoch else loader()
+
     def train_eval(self, train_loader: Callable[[], Iterable],
                    val_loader: Callable[[], Iterable],
                    fold: Optional[int] = None):
         """Full loop (training_utils.py:414-454).  Loader args are
-        zero-arg callables returning fresh epoch iterators.
+        callables returning fresh epoch iterators — zero-arg, or taking
+        the epoch number (see ``_epoch_iter``).
 
         With ``cfg.resume`` the loop restarts from the latest per-epoch
         snapshot under ``ckpt_dir`` — train state, epoch counter, loss
@@ -157,7 +173,8 @@ class Trainer:
             t0 = time.time()
             if not self.cfg.step_per_batch:
                 self._maybe_set_lr(epoch)
-            train_loss = self.train_epoch(train_loader(), epoch)
+            train_loss = self.train_epoch(
+                self._epoch_iter(train_loader, epoch), epoch)
             val_loss, val_result, preds = self.eval_epoch(val_loader())
             if self.cfg.plateau is not None:
                 self.state = set_learning_rate(

@@ -41,7 +41,8 @@ def retrain_on_top_channels(x: np.ndarray, y: np.ndarray,
                             positive_class: int = 0,
                             epochs: int = 3, batch_size: int = 8,
                             lr: float = 1e-3, seed: int = 0,
-                            model_kwargs: Optional[dict] = None) -> dict:
+                            model_kwargs: Optional[dict] = None,
+                            ckpt_dir: Optional[str] = None) -> dict:
     """The full ``RestructuredDataset`` → ``EEGOnlyDataset`` retraining
     workflow (XAI_Multimodality.py:2467-2587): rank channels by mean
     |SHAP| of the chosen class, re-slice the EEG to the top-N, binarize
@@ -86,19 +87,26 @@ def retrain_on_top_channels(x: np.ndarray, y: np.ndarray,
                                  jax.random.PRNGKey(seed))
     tc = T.TrainerConfig(epochs=epochs, seed=seed,
                          eval_metrics=("kldiv", "accuracy"))
-    trainer = T.Trainer(state, tc)
+    # checkpoint so train_eval restores the BEST epoch for the final
+    # "retrained" report (last-epoch state can be worse after a plateau);
+    # a throwaway directory when the caller does not keep checkpoints
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = T.Trainer(state, tc, ckpt_dir=ckpt_dir or tmp)
 
-    def tl():
-        return batch_iterator({"x": xs[tr], "y": ys[tr]}, batch_size,
-                              shuffle=True, seed=seed, drop_last=False)
+        def tl(epoch=0):
+            return batch_iterator({"x": xs[tr], "y": ys[tr]}, batch_size,
+                                  shuffle=True, seed=seed + epoch,
+                                  drop_last=False)
 
-    def vl():
-        return batch_iterator({"x": xs[va], "y": ys[va]}, batch_size,
-                              drop_last=False)
+        def vl():
+            return batch_iterator({"x": xs[va], "y": ys[va]}, batch_size,
+                                  drop_last=False)
 
-    _, fresh, _ = trainer.eval_epoch(vl())
-    _, best, _ = trainer.train_eval(tl, vl)
-    _, retrained, _ = trainer.eval_epoch(vl())
+        _, fresh, _ = trainer.eval_epoch(vl())
+        _, best, _ = trainer.train_eval(tl, vl)
+        # trainer.state now holds the best checkpoint's params
+        _, retrained, _ = trainer.eval_epoch(vl())
     return {"top_channels": np.asarray(top_idx).tolist(),
             "positive_class": positive_class,
             "fresh": {k: float(v) for k, v in fresh.items()},

@@ -110,6 +110,30 @@ def test_multimodal_batches_reuse_buffers(hms_tree, tmp_path):
             np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_multimodal_batches_single_modality(hms_tree, tmp_path):
+    """want=("eeg",)/("spec",) batches (the branch-pretraining data path)
+    carry only the requested modality + labels, matching the combined
+    gather's arrays — including under ring-buffer reuse."""
+    paths = C.load_config(None, [f"paths.data_root={hms_tree}"]).paths
+    src = data.multimodal_source(paths, cache_dir=str(tmp_path),
+                                 n_workers=2)
+    rows = np.arange(len(src))
+    full = [{k: v.copy() for k, v in b.items()}
+            for b in src.batches(rows, 4, shuffle=True, seed=3)]
+    for key in ("eeg", "spec"):
+        only = [{k: v.copy() for k, v in b.items()}
+                for b in src.batches(rows, 4, shuffle=True, seed=3,
+                                     want=(key,))]
+        ringed = [{k: v.copy() for k, v in b.items()}
+                  for b in src.batches(rows, 4, shuffle=True, seed=3,
+                                       want=(key,), reuse_buffers=True)]
+        for a, b, c in zip(full, only, ringed):
+            assert set(b) == set(c) == {key, "y"}
+            np.testing.assert_array_equal(a[key], b[key])
+            np.testing.assert_array_equal(a["y"], b["y"])
+            np.testing.assert_array_equal(a[key], c[key])
+
+
 @pytest.mark.slow
 def test_cli_train_wavenet_realdata(hms_tree, tmp_path):
     rc = main(["train-wavenet", "--set", f"paths.data_root={hms_tree}",

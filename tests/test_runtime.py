@@ -128,14 +128,56 @@ def test_batch_queue_pop_ring_matches_fresh(rng):
                                                  seed=9, n_workers=3,
                                                  pop_ring=3)]
     assert len(fresh) == len(ringed) == 5
-    # workers push completed batches in completion order, which is
-    # scheduling-dependent — compare the batch *sets*, not positions
-    # (same seed → both runs produce bit-identical batch contents)
-    fresh.sort(key=lambda bb: bb["x"].tobytes())
-    ringed.sort(key=lambda bb: bb["x"].tobytes())
+    # workers publish in sequence order (ordered-push queue), so the two
+    # runs must match positionally, not just as sets
     for a, bb in zip(fresh, ringed):
         np.testing.assert_array_equal(a["x"], bb["x"])
         np.testing.assert_array_equal(a["y"], bb["y"])
+
+
+def test_batch_queue_order_deterministic(rng):
+    """Workers gather concurrently but publish in epoch-permutation order:
+    the consumer sees batch b's rows exactly at position b regardless of
+    worker count — the property that makes resume fast-forward (skip the
+    first N batches of the seed-ep stream) equal to an uninterrupted run."""
+    n, b = 64, 4
+    x = rng.standard_normal((n, 2, 12)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, n)]
+    q = runtime.NativeBatchQueue(x, y, b, shuffle=True, seed=7, n_workers=4)
+    order = q.order                      # the epoch permutation
+    for k, bb in enumerate(q):
+        expect = order[k * b:(k + 1) * b]
+        np.testing.assert_array_equal(bb["x"], x[expect])
+        np.testing.assert_array_equal(bb["y"], y[expect])
+
+
+def test_gather_multimodal_want_single_modality(monkeypatch, rng):
+    """want=("eeg",)/("spec",) skips the other modality (returned None)
+    and matches the corresponding half of the full gather — native and
+    numpy fallback."""
+    from multimodal_brain_pattern_identification_xai_tpu.runtime import loader
+
+    eeg = rng.standard_normal((5, 3, 40)).astype(np.float32)
+    planes = [rng.standard_normal((r, 7)).astype(np.float32)
+              for r in (20, 35, 10)]
+    lens = np.array([20, 35, 10], np.int64)
+    off = np.array([0, 20, 55], np.int64)
+    buf = np.concatenate(planes)
+    args = (eeg, np.array([4, 0, 2], np.int64), buf, off, lens,
+            np.array([0, 1, 2], np.int64), np.array([0, 30, 5], np.int64))
+
+    def check():
+        full = runtime.gather_multimodal(*args, width=16)
+        e_only = runtime.gather_multimodal(*args, width=16, want=("eeg",))
+        s_only = runtime.gather_multimodal(*args, width=16, want=("spec",))
+        assert e_only[1] is None and s_only[0] is None
+        np.testing.assert_array_equal(e_only[0], full[0])
+        np.testing.assert_array_equal(s_only[1], full[1])
+
+    assert runtime.native_available()
+    check()
+    monkeypatch.setattr(loader, "_load_lib", lambda: None)
+    check()
 
 
 def test_batch_queue_pop_ring_numpy_fallback(monkeypatch, rng):

@@ -248,6 +248,67 @@ def test_trainer_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(oof_a, oof_b)
 
 
+def test_trainer_passes_epoch_to_loader(tmp_path, rng):
+    """Epoch-aware train-loader factories receive the ACTUAL epoch number
+    — in particular a resumed run's first call gets the resumed epoch, so
+    epoch-keyed shuffle/augmentation seeds continue where the interrupted
+    run stopped instead of restarting from zero (the CLI data factories
+    rely on this)."""
+    _, state, batch = _tiny_setup(rng)
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+    seen = []
+
+    def make(resume):
+        cfg = train.TrainerConfig(epochs=4 if resume else 2, resume=resume,
+                                  eval_metrics=("kldiv",))
+        return train.Trainer(state, cfg, ckpt_dir=str(tmp_path / "ck"))
+
+    def tl(epoch=0):
+        seen.append(epoch)
+        return iter([batch])
+
+    make(False).train_eval(tl, lambda: iter([batch]))
+    assert seen == [0, 1]
+    make(True).train_eval(tl, lambda: iter([batch]))
+    assert seen == [0, 1, 2, 3]          # resumed run starts at epoch 2
+
+    # zero-arg factories keep working (no epoch passed)
+    calls = []
+    tr = train.Trainer(state, train.TrainerConfig(
+        epochs=1, eval_metrics=("kldiv",)))
+    tr.train_eval(lambda: calls.append(1) or iter([batch]),
+                  lambda: iter([batch]))
+    assert calls == [1]
+
+
+def test_diffeeg_factory_receives_start_offset(rng):
+    """DiffEEGTrainer.train hands start-aware batch factories the number
+    of micro-batches already consumed (resumed_step × K) so the data
+    stream fast-forwards instead of replaying from zero."""
+    from multimodal_brain_pattern_identification_xai_tpu import config as C
+    from multimodal_brain_pattern_identification_xai_tpu.models import DiffEEG
+
+    cfg = C.DiffEEGConfig(n_channels=4, input_length=128, hidden_channels=8,
+                          n_diffusion_steps=8, gradient_accumulate_every=3,
+                          batch_size=2, evaluate_every=100,
+                          save_and_sample_every=100, min_steps=1,
+                          stft_n_fft=32, stft_noverlap=16)
+    tr = train.DiffEEGTrainer(DiffEEG(n_channels=4, hidden=8), cfg,
+                              ckpt_dir=None, seed=0)
+    # simulate a resumed trainer at step 5
+    tr.state = tr.state.replace(step=jnp.asarray(5))
+    starts = []
+
+    def factory(start=0):
+        starts.append(start)
+        while True:
+            yield (rng.standard_normal((2, 4, 128)).astype(np.float32),
+                   np.eye(6, dtype=np.float32)[rng.integers(0, 6, 2)])
+
+    tr.train(factory, total_steps=6)
+    assert starts == [5 * 3]
+
+
 def test_ckpt_diverts_on_hyperparam_change(tmp_path, rng):
     """Hyperparameter-change guard (reference detect_and_save_checkpoint,
     data_utils.py:291-311): a trainer pointed at an existing checkpoint
@@ -265,11 +326,17 @@ def test_ckpt_diverts_on_hyperparam_change(tmp_path, rng):
     # same fingerprint → same stream
     assert mk(0.0, "adam").ckpt.ckpt_dir == os.path.abspath(d)
     b = mk(1e-3, "adam")
-    assert b.ckpt.ckpt_dir == os.path.abspath(d) + "_l2_lambda"
+    assert b.ckpt.ckpt_dir.startswith(os.path.abspath(d) + "_l2_lambda-")
     c = mk(1e-3, "sgd")
-    assert c.ckpt.ckpt_dir == os.path.abspath(d) + "_l2_lambda_optimizer"
+    assert c.ckpt.ckpt_dir.startswith(
+        os.path.abspath(d) + "_l2_lambda_optimizer-")
     # the diverted stream records ITS fingerprint: reusing it is stable
     assert mk(1e-3, "adam").ckpt.ckpt_dir == b.ckpt.ckpt_dir
+    # same changed KEY but a different VALUE must get its own stream —
+    # two different-λ runs must never share (and clobber) one directory
+    b2 = mk(2e-3, "adam")
+    assert b2.ckpt.ckpt_dir != b.ckpt.ckpt_dir
+    assert mk(2e-3, "adam").ckpt.ckpt_dir == b2.ckpt.ckpt_dir
 
 
 @pytest.mark.slow
