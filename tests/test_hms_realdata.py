@@ -194,6 +194,46 @@ def test_cli_train_multimodal_realdata(hms_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_multimodal_resume_matches_uninterrupted(
+        hms_tree, tmp_path, capsys):
+    """CLI-level resume equivalence on the real data path: 1 epoch +
+    `--resume` to 2 reproduces an uninterrupted 2-epoch run's loss
+    trajectory and best metric exactly.  This exercises the full stack
+    the guarantee depends on: epoch-keyed shuffle seeds, (epoch, batch)-
+    keyed MixUp draws, deterministic native gather order, and the
+    epoch-snapshot restore."""
+    from multimodal_brain_pattern_identification_xai_tpu.train import (
+        CheckpointManager)
+
+    common = ["--set", f"paths.data_root={hms_tree}",
+              "--set", "n_folds=2", "--batch-size", "4"]
+
+    def run(ckpt, epochs, resume=False):
+        args = ["train-multimodal", *common, "--epochs", str(epochs),
+                "--ckpt-dir", str(ckpt)]
+        assert main(args + (["--resume"] if resume else [])) == 0
+        return capsys.readouterr().out
+
+    out_a = run(tmp_path / "a", 2)
+    run(tmp_path / "b", 1)
+    out_b = run(tmp_path / "b", 2, resume=True)
+
+    hist = {}
+    for d in ("a", "b"):
+        meta = CheckpointManager(
+            str(tmp_path / d / "multimodal")).load_meta("step_2")
+        assert meta is not None and meta["epoch"] == 1
+        hist[d] = meta["history"]
+    assert hist["a"]["train_loss"] == hist["b"]["train_loss"]
+    assert hist["a"]["val_loss"] == hist["b"]["val_loss"]
+    def best_val(out):
+        line = next(l for l in out.splitlines() if "best kldiv" in l)
+        return line.split("best kldiv:")[1].split(";")[0].strip()
+
+    assert best_val(out_a) == best_val(out_b)
+
+
+@pytest.mark.slow
 def test_cli_diffeeg_lifecycle(hms_tree, tmp_path):
     """The reference's headline DiffEEG purpose, end-to-end on the schema
     tree: train-diffeeg → generate (restores the trained checkpoint, EMA
