@@ -234,6 +234,51 @@ def test_cli_train_multimodal_resume_matches_uninterrupted(
 
 
 @pytest.mark.slow
+def test_cli_train_diffeeg_resume_matches_uninterrupted(hms_tree, tmp_path):
+    """DiffEEG CLI resume on the real data path: 2 steps + --resume to 4
+    equals an uninterrupted 4-step run bitwise (params and EMA).  This
+    pins the micro-batch stream fast-forward: the resumed factory skips
+    resumed_step × K micros of the epoch-seeded ordered queue, continuing
+    exactly where the interrupted run stopped."""
+    import jax
+    from multimodal_brain_pattern_identification_xai_tpu import (
+        models, train)
+
+    ov = [f"paths.data_root={hms_tree}",
+          "diffeeg.gradient_accumulate_every=2",
+          "diffeeg.n_diffusion_steps=10",
+          "diffeeg.hidden_channels=8",
+          "diffeeg.evaluate_every=1000",
+          "diffeeg.save_and_sample_every=1"]
+    sets = sum((["--set", o] for o in ov), [])
+
+    def run(d, steps, resume=False):
+        args = ["train-diffeeg", *sets, "--epochs", str(steps),
+                "--batch-size", "2", "--ckpt-dir", str(d)]
+        assert main(args + (["--resume"] if resume else [])) == 0
+
+    run(tmp_path / "a", 4)
+    run(tmp_path / "b", 2)
+    run(tmp_path / "b", 4, resume=True)
+
+    cfg = C.load_config(None, ov).diffeeg
+    cfg = __import__("dataclasses").replace(cfg, batch_size=2)
+    leaves = {}
+    for d in ("a", "b"):
+        model = models.DiffEEG(n_channels=cfg.n_channels,
+                               hidden=cfg.hidden_channels)
+        tr = train.DiffEEGTrainer(model, cfg,
+                                  ckpt_dir=str(tmp_path / d / "diffeeg"),
+                                  seed=42)
+        assert tr.load() == 4
+        leaves[d] = (jax.tree_util.tree_leaves(tr.state.params),
+                     jax.tree_util.tree_leaves(tr.ema.params))
+    for part in range(2):
+        for la, lb in zip(leaves["a"][part], leaves["b"][part]):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
 def test_cli_diffeeg_lifecycle(hms_tree, tmp_path):
     """The reference's headline DiffEEG purpose, end-to-end on the schema
     tree: train-diffeeg → generate (restores the trained checkpoint, EMA
