@@ -16,6 +16,8 @@ Subcommands::
     train-diffeeg     DiffEEG diffusion training (DiffEEG_train.py)
     generate          class-conditional EEG generation from the trained
                       EMA checkpoint
+    predict           batch inference with the trained multimodal
+                      checkpoint → predictions.csv (the serving path)
     xai               saliency/IG/SHAP/Grad-CAM/LIME report on a checkpoint
     bench             the windows/sec/chip benchmark
 
@@ -771,6 +773,109 @@ def cmd_xai(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Batch inference with the trained multimodal checkpoint — the
+    serving path.  The reference's inference story is its notebook eval
+    cells (XAI_Multimodality.py:1901-1935, no-grad forward over the val
+    loader collecting soft predictions); here it is a first-class
+    command: restore the best ``train-multimodal`` checkpoint, stream
+    every row (or ``--limit``) through the fused on-device preprocess +
+    forward in fixed-size padded batches (ONE compiled program — no
+    per-tail recompile), and write ``predictions.csv`` with per-class
+    probabilities and the argmax class name.
+    """
+    import jax
+    import jax.numpy as jnp
+    from . import config as C, data, models, ops, train
+
+    cfg = _load_cfg(args)
+    rng = np.random.default_rng(args.seed)
+    bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
+    if args.demo:
+        n = 12
+        sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
+        raw_eeg = data.synthetic_raw_eeg(n, rng, n_points=2000)
+        raw_spec = data.synthetic_raw_spectrogram(n, rng, shape=(80, 60))
+        ids = np.arange(n)
+
+        def raw_batches():
+            for s in range(0, n, bs):
+                yield {"eeg": raw_eeg[s:s + bs], "spec": raw_spec[s:s + bs]}
+
+        mm = models.MultimodalModel(
+            eeg_model=models.EEGNetAttentionRegularized(samples=600,
+                                                        kern_length=16),
+            spectrogram_model=models.SpectrogramCNN())
+        eeg0, spec0 = ops.preprocess_multimodal(raw_eeg[:2], raw_spec[:2],
+                                                signal=sig)
+        v0 = mm.init(jax.random.PRNGKey(args.seed), eeg0, spec0)
+        variables = {"params": v0["params"],
+                     "batch_stats": v0["batch_stats"]}
+        pp_kwargs = dict(signal=sig)
+    else:
+        src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
+                                     n_workers=args.workers,
+                                     limit=args.limit)
+        n = len(src)
+        ids = src.meta["eeg_id"].to_numpy()
+
+        def raw_batches():
+            return src.batches(np.arange(n), bs, shuffle=False,
+                               drop_last=False)
+
+        b0 = src.gather(np.arange(min(2, n)))
+        mm = models.MultimodalModel(
+            eeg_model=models.EEGNetAttentionRegularized(),
+            spectrogram_model=models.SpectrogramCNN())
+        eeg0, spec0 = ops.preprocess_multimodal(
+            jnp.asarray(b0["eeg"]), jnp.asarray(b0["spec"]),
+            assume_finite=True)
+        v0 = mm.init(jax.random.PRNGKey(args.seed), eeg0, spec0)
+        state = train.TrainState.create(
+            apply_fn=mm.apply, params=v0["params"],
+            tx=train.state.make_optimizer(cfg.trainer.lr),
+            batch_stats=v0.get("batch_stats"))
+        try:
+            state = train.CheckpointManager(
+                f"{args.ckpt_dir}/multimodal").load_best(state)
+            print("restored best multimodal checkpoint")
+        except Exception as e:                        # noqa: BLE001
+            print(f"error: no multimodal checkpoint under "
+                  f"{args.ckpt_dir}/multimodal ({type(e).__name__}) — "
+                  "run train-multimodal first")
+            return 1
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        pp_kwargs = dict(assume_finite=True)
+
+    @jax.jit
+    def forward(eeg_raw, spec_raw):
+        e, s = ops.preprocess_multimodal(eeg_raw, spec_raw, **pp_kwargs)
+        return jnp.exp(mm.apply(variables, e, s))     # log-softmax → probs
+
+    probs = []
+    for batch in raw_batches():
+        eeg_b, spec_b = batch["eeg"], batch["spec"]
+        pad = bs - len(eeg_b)
+        if pad:                       # static batch shape: pad + slice
+            eeg_b = np.concatenate([eeg_b, np.repeat(eeg_b[-1:], pad, 0)])
+            spec_b = np.concatenate([spec_b,
+                                     np.repeat(spec_b[-1:], pad, 0)])
+        p = np.asarray(forward(jnp.asarray(eeg_b), jnp.asarray(spec_b)))
+        probs.append(p[:len(p) - pad] if pad else p)
+    probs = np.concatenate(probs)[:n]
+
+    import pandas as pd
+    df = pd.DataFrame(probs, columns=[f"p_{c}" for c in C.CLASSES])
+    df.insert(0, "eeg_id", ids[:n])
+    df["predicted_class"] = [C.CLASSES[i] for i in probs.argmax(1)]
+    out = os.path.join(args.ckpt_dir, "predictions.csv")
+    df.to_csv(out, index=False)
+    print(f"wrote {len(df)} predictions → {out}")
+    print(df["predicted_class"].value_counts().to_string())
+    return 0
+
+
 def cmd_sanity_check(args) -> int:
     """Autoencoder sanity training + sample grids — the counterpart of the
     reference's MNIST sanity loop (main.py:226-271, diffEEG.py:151-212,
@@ -893,6 +998,7 @@ COMMANDS = {
     "train-spectrogram": cmd_train_spectrogram,
     "train-diffeeg": cmd_train_diffeeg,
     "generate": cmd_generate,
+    "predict": cmd_predict,
     "xai": cmd_xai,
     "cache-build": cmd_cache_build,
     "long-eeg": cmd_long_eeg,

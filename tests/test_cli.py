@@ -40,6 +40,14 @@ def test_cli_generate_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_predict_demo(tmp_path):
+    r = _run(["predict", "--demo", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(tmp_path / "predictions.csv")
+    assert "wrote 12 predictions" in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_sanity_check(tmp_path):
     r = _run(["sanity-check", "--demo", "--epochs", "5",
               "--ckpt-dir", str(tmp_path)], tmp_path)

@@ -234,6 +234,36 @@ def test_cli_train_multimodal_resume_matches_uninterrupted(
 
 
 @pytest.mark.slow
+def test_cli_predict_realdata(hms_tree, tmp_path, capsys):
+    """The serving path: train-multimodal → predict writes a
+    predictions.csv with one row per metadata row, per-class probability
+    columns summing to 1, and argmax class names."""
+    import pandas as pd
+
+    common = ["--set", f"paths.data_root={hms_tree}",
+              "--set", "n_folds=2", "--batch-size", "4"]
+    assert main(["train-multimodal", *common, "--epochs", "1",
+                 "--ckpt-dir", str(tmp_path)]) == 0
+    # batch size 5 does not divide 16 rows → exercises the padded tail
+    assert main(["predict", *common[:-2], "--batch-size", "5",
+                 "--ckpt-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "restored best multimodal checkpoint" in out
+    df = pd.read_csv(tmp_path / "predictions.csv")
+    assert len(df) == 16
+    probs = df[[c for c in df.columns if c.startswith("p_")]].to_numpy()
+    assert probs.shape == (16, 6)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
+    assert set(df["predicted_class"]) <= {
+        "Seizure", "LPD", "GPD", "LRDA", "GRDA", "Other"}
+
+    # without a checkpoint the command refuses rather than predicting
+    # from a fresh init
+    assert main(["predict", *common[:-2],
+                 "--ckpt-dir", str(tmp_path / "empty")]) == 1
+
+
+@pytest.mark.slow
 def test_cli_train_diffeeg_resume_matches_uninterrupted(hms_tree, tmp_path):
     """DiffEEG CLI resume on the real data path: 2 steps + --resume to 4
     equals an uninterrupted 4-step run bitwise (params and EMA).  This
