@@ -76,6 +76,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lime-every", type=int, default=0,
                    help="per-epoch LIME snapshot interval (0 = off; "
                         "--demo defaults to 1)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="predict: shard inference batches over an "
+                        "N-device data-parallel mesh (0/1 = single device)")
 
 
 def _load_cfg(args):
@@ -848,6 +851,24 @@ def cmd_predict(args) -> int:
                      "batch_stats": state.batch_stats}
         pp_kwargs = dict(assume_finite=True)
 
+    put = jnp.asarray
+    if args.mesh and args.mesh > 1:
+        # data-parallel serving: shard the batch axis over a `data`-only
+        # mesh; the captured params replicate and XLA partitions the
+        # fused preprocess+forward across devices (forward-only, so the
+        # grouped-conv GRADIENT partitioner hazard does not apply)
+        from . import parallel
+        n_dev = len(jax.devices())
+        if args.mesh > n_dev:
+            print(f"error: --mesh {args.mesh} > {n_dev} visible devices")
+            return 1
+        mesh = parallel.make_mesh(C.MeshConfig(data=args.mesh),
+                                  devices=jax.devices()[:args.mesh])
+        bs = -(-bs // args.mesh) * args.mesh     # round up to divisible
+        sh = parallel.mesh.batch_sharding(mesh, ndim=3)
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+        print(f"serving over a {args.mesh}-device data mesh, batch {bs}")
+
     @jax.jit
     def forward(eeg_raw, spec_raw):
         e, s = ops.preprocess_multimodal(eeg_raw, spec_raw, **pp_kwargs)
@@ -861,7 +882,7 @@ def cmd_predict(args) -> int:
             eeg_b = np.concatenate([eeg_b, np.repeat(eeg_b[-1:], pad, 0)])
             spec_b = np.concatenate([spec_b,
                                      np.repeat(spec_b[-1:], pad, 0)])
-        p = np.asarray(forward(jnp.asarray(eeg_b), jnp.asarray(spec_b)))
+        p = np.asarray(forward(put(eeg_b), put(spec_b)))
         probs.append(p[:len(p) - pad] if pad else p)
     probs = np.concatenate(probs)[:n]
 

@@ -48,6 +48,26 @@ def test_cli_predict_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_predict_mesh_matches_single_device(tmp_path):
+    """predict --mesh 8 (data-parallel serving over the virtual mesh)
+    produces the same probabilities as the single-device path."""
+    import numpy as np
+    import pandas as pd
+    from multimodal_brain_pattern_identification_xai_tpu.cli import main
+
+    assert main(["predict", "--demo", "--batch-size", "5",
+                 "--ckpt-dir", str(tmp_path / "single")]) == 0
+    assert main(["predict", "--demo", "--batch-size", "5", "--mesh", "8",
+                 "--ckpt-dir", str(tmp_path / "mesh")]) == 0
+    a = pd.read_csv(tmp_path / "single" / "predictions.csv")
+    b = pd.read_csv(tmp_path / "mesh" / "predictions.csv")
+    cols = [c for c in a.columns if c.startswith("p_")]
+    np.testing.assert_allclose(a[cols].to_numpy(), b[cols].to_numpy(),
+                               rtol=1e-5, atol=1e-6)
+    assert (a["predicted_class"] == b["predicted_class"]).all()
+
+
+@pytest.mark.slow
 def test_cli_sanity_check(tmp_path):
     r = _run(["sanity-check", "--demo", "--epochs", "5",
               "--ckpt-dir", str(tmp_path)], tmp_path)
