@@ -19,7 +19,13 @@ Subcommands::
     predict           batch inference with the trained multimodal
                       checkpoint → predictions.csv (the serving path)
     xai               saliency/IG/SHAP/Grad-CAM/LIME report on a checkpoint
+    grid-search       vmapped hyperparameter grid search (one jit, all
+                      grid points at once)
     bench             the windows/sec/chip benchmark
+
+``--mesh N`` on the training commands runs the DDP-equivalent
+data-parallel loop over an N-device mesh; on ``predict`` it shards
+serving; on ``xai`` it pod-shards the IG/SHAP sweeps.
 
 Every command accepts ``--demo`` to run on synthetic data (no HMS download
 needed) — the equivalent of the reference's DummyEEGDataset sanity path.
@@ -76,15 +82,43 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lime-every", type=int, default=0,
                    help="per-epoch LIME snapshot interval (0 = off; "
                         "--demo defaults to 1)")
+    p.add_argument("--grid", action="append", default=[],
+                   help="grid-search axis name=v1,v2,... (repeatable; "
+                        "e.g. --grid lr=1e-3,3e-3,1e-2)")
     p.add_argument("--mesh", type=int, default=0,
-                   help="predict: shard inference batches over an "
-                        "N-device data-parallel mesh (0/1 = single device)")
+                   help="shard batches over an N-device data-parallel "
+                        "mesh (0/1 = single device).  On the training "
+                        "commands this is the DDP-equivalent loop "
+                        "(gradient psum inside the compiled step); on "
+                        "`predict` it shards inference")
 
 
 def _load_cfg(args):
     from . import config as C
     cfg = C.load_config(args.config, args.overrides)
     return cfg
+
+
+def _train_mesh(args):
+    """``--mesh N`` on a training command → a ``data=N`` device mesh plus
+    the prefetcher sharding that lands raw train batches already sharded
+    over it (the fused preprocess then runs data-parallel too) — the
+    reference's DDP training entry point
+    (train_and_validate_eeg_distributed, training_distributed.py:22-141)
+    as a flag.  Returns ``(mesh | None, prefetch-kwargs)``."""
+    if not args.mesh or args.mesh <= 1:
+        return None, {}
+    import jax
+    from . import config as C, parallel
+    n_dev = len(jax.devices())
+    if args.mesh > n_dev:
+        raise SystemExit(
+            f"error: --mesh {args.mesh} > {n_dev} visible devices")
+    mesh = parallel.make_mesh(C.MeshConfig(data=args.mesh),
+                              devices=jax.devices()[:args.mesh])
+    # P('data') extends with replicated dims to any rank, so one sharding
+    # covers the eeg/spec/y batch arrays
+    return mesh, {"sharding": parallel.batch_sharding(mesh, ndim=1)}
 
 
 def _device_transform_chunks(raw: np.ndarray, fn, chunk: int = 256
@@ -165,6 +199,9 @@ def cmd_train_wavenet(args) -> int:
 
     bs = args.batch_size or 16
     epochs = args.epochs or 3
+    mesh, _ = _train_mesh(args)
+    if mesh is not None:
+        bs = -(-bs // args.mesh) * args.mesh   # batch divides the data axis
 
     def make_loaders(tr, va):
         # epoch-keyed shuffle seed (not a call counter): --resume replays
@@ -189,7 +226,7 @@ def cmd_train_wavenet(args) -> int:
                                  lr_schedule=train.cosine_schedule_with_warmup(
                                      10, epochs * max(1, len(x) // bs),
                                      cfg.trainer.lr))
-        return train.Trainer(state, tc,
+        return train.Trainer(state, tc, mesh=mesh,
                              ckpt_dir=f"{args.ckpt_dir}/wavenet_fold{fold}")
 
     oof, scores = train.run_cv(make_trainer, make_loaders, splits, len(x),
@@ -282,6 +319,9 @@ def cmd_train_multimodal(args) -> int:
      pf_kwargs) = _multimodal_data(args, cfg)
     eeg_model = models.EEGNetAttentionRegularized(**eeg_kwargs)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
+    mesh, tr_sh = _train_mesh(args)
+    if mesh is not None:
+        bs = -(-bs // args.mesh) * args.mesh
     # real-data windows are NaN-repaired at cache-build time -> the EEG
     # branch takes the montage-first fast path (mathematically identical
     # on finite inputs, tested); demo data keeps deliberate NaNs
@@ -299,7 +339,7 @@ def cmd_train_multimodal(args) -> int:
         ep_key = jax.random.fold_in(aug_key, epoch)
         for i, batch in enumerate(
                 data.prefetch_to_device(raw_batches(tr_idx, bs, True, epoch),
-                                        **pf_kwargs)):
+                                        **{**pf_kwargs, **tr_sh})):
             eeg_raw = batch["eeg"]
             if cfg.augment:
                 # CFG.AUGMENT parity: left/right hemisphere mirror applied
@@ -346,7 +386,9 @@ def cmd_train_multimodal(args) -> int:
     tc = train.TrainerConfig(epochs=args.epochs or 3, seed=args.seed,
                              resume=args.resume,
                              hyperparams={"optimizer": "adam"})
-    trainer = train.Trainer(state, tc,
+    if mesh is not None:
+        print(f"training over a {args.mesh}-device data mesh, batch {bs}")
+    trainer = train.Trainer(state, tc, mesh=mesh,
                             ckpt_dir=f"{args.ckpt_dir}/multimodal",
                             epoch_callbacks=callbacks)
     _, best, _ = trainer.train_eval(train_iter, val_iter)
@@ -405,6 +447,9 @@ def _train_branch(args, which: str) -> int:
     (sig, raw_batches, tr_idx, va_idx, eeg_kwargs,
      pf_kwargs) = _multimodal_data(args, cfg)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
+    mesh, tr_sh = _train_mesh(args)
+    if mesh is not None:
+        bs = -(-bs // args.mesh) * args.mesh
     if which == "eeg":
         model = models.EEGNetAttentionRegularized(**eeg_kwargs)
         pp = jax.jit(lambda e: ops.hms_eeg_preprocess(
@@ -421,7 +466,7 @@ def _train_branch(args, which: str) -> int:
     def train_iter(epoch=0):
         for batch in data.prefetch_to_device(
                 raw_batches(tr_idx, bs, True, epoch, want=(key_name,)),
-                **pf_kwargs):
+                **{**pf_kwargs, **tr_sh}):
             raw = batch[key_name]
             if which == "eeg" and cfg.augment:
                 raw = mirror(raw)            # CFG.AUGMENT hemisphere swap
@@ -446,7 +491,10 @@ def _train_branch(args, which: str) -> int:
                              hyperparams={"optimizer": "adam"},
                              plateau=train.ReduceLROnPlateau(
                                  cfg.trainer.lr))
-    trainer = train.Trainer(state, tc, ckpt_dir=f"{args.ckpt_dir}/{which}")
+    if mesh is not None:
+        print(f"training over a {args.mesh}-device data mesh, batch {bs}")
+    trainer = train.Trainer(state, tc, mesh=mesh,
+                            ckpt_dir=f"{args.ckpt_dir}/{which}")
     _, best, _ = trainer.train_eval(train_iter, val_iter)
     p = utils.plot_training_curves(trainer.history, args.ckpt_dir,
                                    f"{which}_training_curves")
@@ -721,12 +769,31 @@ def cmd_xai(args) -> int:
                                 "eeg_saliency",
                                 xai.channel_select.channel_names_37())
     eeg_fwd = lambda e: mm.apply(variables, e, method=mm.forward_eeg)
-    ig = xai.integrated_gradients(eeg_fwd, eeg_in[:2], steps=32)
-    comp = float(jnp.abs(ig.reshape(2, -1)).sum() / 2)
+    mesh, _ = _train_mesh(args)
+    if mesh is not None:
+        # pod-sharded attribution (BASELINE config #5): the explained
+        # samples split over the data axis, each device running its own
+        # (baseline × step) sweep — so --mesh N explains the WHOLE batch
+        # instead of the single-device default's first 2 samples
+        n_ex = len(eeg_in)
+        pad = (-n_ex) % args.mesh
+        x_ex = (jnp.concatenate([eeg_in, jnp.repeat(eeg_in[-1:], pad, 0)])
+                if pad else eeg_in)
+        print(f"sharding {n_ex} explained samples over a {args.mesh}-device "
+              "data mesh")
+        ig = xai.sharded_integrated_gradients(mesh, eeg_fwd, x_ex,
+                                              steps=32)[:n_ex]
+        shap_vals = xai.sharded_gradient_shap_values(
+            mesh, eeg_fwd, x_ex, eeg_bg, jax.random.PRNGKey(0),
+            nsamples=16)[:, :n_ex]
+    else:
+        ig = xai.integrated_gradients(eeg_fwd, eeg_in[:2], steps=32)
+        shap_vals = xai.gradient_shap_values(eeg_fwd, eeg_in[:2], eeg_bg,
+                                             jax.random.PRNGKey(0),
+                                             nsamples=16)
+    comp = float(jnp.abs(ig.reshape(len(ig), -1)).sum() / len(ig))
     print(f"IG: mean |attr| mass per sample {comp:.4f} "
           f"(completeness-tested quadrature)")
-    shap_vals = xai.gradient_shap_values(eeg_fwd, eeg_in[:2], eeg_bg,
-                                         jax.random.PRNGKey(0), nsamples=16)
     idx, scores = xai.get_top_n_channels(np.asarray(shap_vals), n=10)
     names = xai.channel_select.channel_names_37()
     print("top-10 channels:", [names[i] for i in idx])
@@ -897,6 +964,59 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_grid_search(args) -> int:
+    """Hyperparameter grid search over the WaveNet (reference
+    ``parallel_grid_search``, training_utils.py:48-132 — a
+    torch.multiprocessing pool handing one GPU per (gamma, decay_epochs)
+    combination; here every grid point trains simultaneously inside ONE
+    vmapped jit, no processes).  Axes come from repeatable
+    ``--grid name=v1,v2,...`` flags (default ``lr=1e-3,3e-3,1e-2``; only
+    ``lr`` steers the optimizer — other axes are carried through to the
+    report).  Prints the ranked table and the best configuration."""
+    from . import config as C, data, models, ops, train
+
+    grid = {}
+    for spec in args.grid or ["lr=1e-3,3e-3,1e-2"]:
+        name, _, vals = spec.partition("=")
+        if not vals:
+            print(f"error: --grid {spec!r} is not name=v1,v2,...")
+            return 1
+        grid[name.strip()] = [float(v) for v in vals.split(",")]
+
+    rng = np.random.default_rng(args.seed)
+    if args.demo:
+        n = 32
+        x = rng.standard_normal((n, 256, 8)).astype(np.float32)
+        y = train.cv.aggregate_vote_labels(rng.integers(0, 10, (n, 6)))
+        model = models.DilatedInceptionWaveNet(block_layers=(3, 2),
+                                               block_dims=(8, 8))
+    else:
+        cfg = _load_cfg(args)
+        src = data.wavenet_arrays(cfg.paths, cache_dir=args.ckpt_dir,
+                                  n_workers=args.workers, limit=args.limit)
+        raw = src.pop("x")
+        tcfg = C.EEGTransformConfig(apply_chris_magic_ch8=True, n_feats=8)
+        x = _device_transform_chunks(raw,
+                                     lambda a: ops.eeg_transform(a, tcfg))
+        del raw
+        y = src["y"].astype(np.float32)
+        model = models.DilatedInceptionWaveNet()
+
+    bs = args.batch_size or 16
+
+    def batches():
+        return data.batch_iterator({"x": x, "y": y}, bs, shuffle=True,
+                                   seed=args.seed)
+
+    best, results = train.parallel_grid_search(
+        model, (x[:2],), batches, grid, train.kldiv_with_logits,
+        epochs=args.epochs or 2, seed=args.seed)
+    for r in results:
+        print("  " + "  ".join(f"{k}={v:.4g}" for k, v in r.items()))
+    print("best:", " ".join(f"{k}={v:.4g}" for k, v in best.items()))
+    return 0
+
+
 def cmd_sanity_check(args) -> int:
     """Autoencoder sanity training + sample grids — the counterpart of the
     reference's MNIST sanity loop (main.py:226-271, diffEEG.py:151-212,
@@ -1024,6 +1144,7 @@ COMMANDS = {
     "cache-build": cmd_cache_build,
     "long-eeg": cmd_long_eeg,
     "convert-spectrograms": cmd_convert_spectrograms,
+    "grid-search": cmd_grid_search,
     "sanity-check": cmd_sanity_check,
     "bench": cmd_bench,
 }

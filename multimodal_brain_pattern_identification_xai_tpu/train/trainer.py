@@ -56,14 +56,31 @@ class Trainer:
     def __init__(self, state: TrainState, cfg: TrainerConfig,
                  ckpt_dir: Optional[str] = None,
                  loggers: Optional[List[Any]] = None,
-                 epoch_callbacks: Optional[List[Any]] = None) -> None:
+                 epoch_callbacks: Optional[List[Any]] = None,
+                 mesh: Optional[Any] = None) -> None:
         #: per-epoch hooks ``cb(trainer, epoch, val_result)`` — e.g. the
         #: reference's per-epoch LIME snapshots during combined training
         #: (XAI_Multimodality.py:1657-1679)
         self.epoch_callbacks = epoch_callbacks or []
         self.state = state
         self.cfg = cfg
-        self.train_step = make_train_step(l2_lambda=cfg.l2_lambda)
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel training over a device mesh — the DDP loop the
+            # reference runs via torch.distributed/NCCL
+            # (training_distributed.py:22-141), here a shard_map step with
+            # the gradient psum inside the compiled program.  Train batches
+            # are sharded over the `data` axis (the leading batch dim must
+            # divide it); eval runs the ordinary jitted step — its batch is
+            # uncommitted, so XLA replicates it onto the mesh the params
+            # live on (ragged val tails need no padding).
+            from ..parallel import make_parallel_train_step, shard_batch
+            self.train_step = make_parallel_train_step(
+                mesh, state, l2_lambda=cfg.l2_lambda)
+            self._shard = lambda b: shard_batch(mesh, b)
+        else:
+            self.train_step = make_train_step(l2_lambda=cfg.l2_lambda)
+            self._shard = None
         self.eval_step = make_eval_step()
         self.evaluator = Evaluator(list(cfg.eval_metrics))
         self.ckpt = (CheckpointManager(ckpt_dir, cfg.ckpt_metric,
@@ -90,7 +107,10 @@ class Trainer:
         for i, batch in enumerate(train_iter):
             if self.cfg.step_per_batch:
                 self._maybe_set_lr(int(self.state.step))
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self._shard is not None:
+                batch = self._shard(batch)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             losses.append(metrics["loss"])
             if i % self.cfg.log_every == 0:

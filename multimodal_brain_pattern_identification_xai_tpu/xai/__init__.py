@@ -26,6 +26,7 @@ from .channel_select import (get_top_n_channels,  # noqa: F401
 from . import callbacks, channel_select, rollout, shap_plots, sharded  # noqa: F401
 from .callbacks import LimeEpochSnapshot  # noqa: F401
 from .sharded import (sharded_integrated_gradients,  # noqa: F401
-                      sharded_expected_gradients)
+                      sharded_expected_gradients,
+                      sharded_gradient_shap_values)
 from .shap_plots import (plot_mean_shap_values,  # noqa: F401
                          plot_mean_shap_values_scatter, plot_shap_summary)

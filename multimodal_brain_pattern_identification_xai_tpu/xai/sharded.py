@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .expected_gradients import expected_gradients
+from .expected_gradients import expected_gradients, gradient_shap_values
 from .integrated_gradients import integrated_gradients
 
 
@@ -61,3 +61,26 @@ def sharded_expected_gradients(mesh: Mesh,
     fn = jax.jit(lambda xx, bg, tt: expected_gradients(
         forward, xx, bg, key, tt, nsamples))
     return fn(x, background, target)
+
+
+def sharded_gradient_shap_values(mesh: Mesh,
+                                 forward: Callable[[jnp.ndarray],
+                                                   jnp.ndarray],
+                                 x: jnp.ndarray,
+                                 background: jnp.ndarray,
+                                 key: jax.Array,
+                                 n_classes: int = 6,
+                                 nsamples: int = 200) -> jnp.ndarray:
+    """Per-class ``GradientExplainer.shap_values`` with the explained
+    samples sharded over ``data`` and the background replicated — the
+    pod-sharded form of :func:`gradient_shap_values` (every chip runs the
+    full per-class Monte-Carlo sweep on its sample shard).  ``x``:
+    (B, ...) with B divisible by the data-axis size; returns
+    (n_classes, B, ...)."""
+    data_sh = NamedSharding(mesh, P(None, "data"))
+    x = jax.device_put(x, NamedSharding(mesh, P("data")))
+    background = jax.device_put(background, NamedSharding(mesh, P()))
+    fn = jax.jit(lambda xx, bg: gradient_shap_values(
+        forward, xx, bg, key, n_classes, nsamples),
+        out_shardings=data_sh)
+    return fn(x, background)

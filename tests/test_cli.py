@@ -68,6 +68,46 @@ def test_cli_predict_mesh_matches_single_device(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_multimodal_mesh_demo(tmp_path):
+    """train-multimodal --mesh 2: the DDP-equivalent data-parallel
+    training loop (training_distributed.py) driven from the CLI — raw
+    batches land sharded over the mesh, the fused preprocess partitions,
+    and the shard_map step psums gradients."""
+    r = _run(["train-multimodal", "--demo", "--epochs", "1", "--mesh", "2",
+              "--batch-size", "5", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # batch 5 rounds up to 6 (divisible by the data axis)
+    assert "training over a 2-device data mesh, batch 6" in r.stdout
+    assert "best kldiv" in r.stdout
+    assert os.path.isdir(tmp_path / "multimodal")
+
+
+@pytest.mark.slow
+def test_cli_xai_mesh_demo(tmp_path):
+    """xai --mesh 2: IG and the per-class SHAP sweep shard the explained
+    samples over the data axis (BASELINE config #5) — and explain the
+    whole batch, not just the first 2 samples."""
+    r = _run(["xai", "--demo", "--mesh", "2",
+              "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharding 8 explained samples over a 2-device data mesh" \
+        in r.stdout
+    assert "top-10 channels" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_grid_search_demo(tmp_path):
+    """grid-search: every grid point trains inside one vmapped jit
+    (reference parallel_grid_search's GPU-pool, training_utils.py:48-132)."""
+    r = _run(["grid-search", "--demo", "--epochs", "1",
+              "--grid", "lr=1e-3,1e-2", "--ckpt-dir", str(tmp_path)],
+             tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("lr=") >= 3          # 2 ranked rows + best line
+    assert "best: lr=" in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_sanity_check(tmp_path):
     r = _run(["sanity-check", "--demo", "--epochs", "5",
               "--ckpt-dir", str(tmp_path)], tmp_path)

@@ -94,6 +94,50 @@ def test_grouped_conv_grad_partitioner_bug_is_avoided(rng):
     assert 0.2 < np.abs(dw_b).max() / np.abs(dw_a).max() < 5.0
 
 
+def test_trainer_with_mesh_matches_single_device(tmp_path, rng):
+    """Trainer(mesh=...) — the CLI's ``--mesh N`` DDP-equivalent loop —
+    produces the same trajectory as the single-device Trainer: same data,
+    dropout/BN-free model (DP decorrelates dropout and shards BN stats by
+    design), SGD (linear in the psum-averaged gradient)."""
+    model = models.DilatedInceptionWaveNet(block_layers=(3, 2),
+                                           block_dims=(8, 8))
+    x = rng.standard_normal((8, 64, 8)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 8)]
+    batches = [{"x": x, "y": y}]
+
+    def make(mesh, sub):
+        tx = train.state.make_optimizer(1e-2, optimizer="sgd")
+        state = train.create_train_state(model, (jnp.asarray(x),), tx,
+                                         jax.random.PRNGKey(0))
+        cfg = train.TrainerConfig(epochs=2, eval_metrics=("kldiv",))
+        return train.Trainer(state, cfg, ckpt_dir=str(tmp_path / sub),
+                             mesh=mesh)
+
+    mesh = parallel.make_mesh(C.MeshConfig(data=4, model=2, seq=1))
+    t_single = make(None, "single")
+    t_mesh = make(mesh, "mesh")
+    s_a, best_a, _ = t_single.train_eval(lambda: iter(batches),
+                                         lambda: iter(batches))
+    s_b, best_b, _ = t_mesh.train_eval(lambda: iter(batches),
+                                       lambda: iter(batches))
+    assert abs(best_a - best_b) < 1e-4
+    np.testing.assert_allclose(t_mesh.history["train_loss"],
+                               t_single.history["train_loss"],
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    # the epoch snapshots written from the mesh-committed state restore
+    # into a fresh single-device state (resume-after-DP-run works)
+    restored = t_mesh.ckpt.load_best(jax.tree_util.tree_map(
+        np.asarray, s_a))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=0)
+
+
 def test_tp_mlp_matches_dense(rng):
     import functools
     from jax.experimental.shard_map import shard_map
