@@ -77,6 +77,27 @@ class WandbLogger:
         self._emit({f"val/{k}": float(v) for k, v in metrics.items()}
                    | {"epoch": int(epoch)})
 
+    def plot_loss(self, losses, label: str = "loss") -> None:
+        """Line-series upload (reference ``plot_loss``, cfg_utils.py:219-
+        231: a wandb line plot over all steps so far).  JSONL fallback
+        records the full series in one row."""
+        series = [float(v) for v in losses]
+        if self._wandb is not None:
+            table = self._wandb.Table(
+                data=[[i, v] for i, v in enumerate(series)],
+                columns=["step", label]) if hasattr(self._wandb, "Table") \
+                else None
+            self._emit({f"plots/{label}": table if table is not None
+                        else series})
+        else:
+            self._emit({f"plots/{label}": series})
+
+    def plot_metrics(self, metrics: Dict[str, Any]) -> None:
+        """Multi-series counterpart of the reference ``plot_metrics``
+        (cfg_utils.py:233-245): one named series per metric."""
+        for name, series in metrics.items():
+            self.plot_loss(series, label=name)
+
     def save_model(self, path: str) -> None:
         self._emit({"checkpoint": path})
 

@@ -1,6 +1,7 @@
 """Data-layer + utils tests: parquet roundtrip, window cropping, cache,
 batching/prefetch, dummy fixtures, loggers, plots, seeding."""
 
+import json
 import os
 
 import numpy as np
@@ -111,11 +112,16 @@ def test_wandb_logger_jsonl_fallback(tmp_path):
     lg = utils.WandbLogger("proj", "exp1", log_dir=str(tmp_path))
     lg.log_loss(0.5, 1)
     lg.log_evaluation({"kldiv": 0.1}, 0)
+    lg.plot_loss([1.0, 0.5, 0.25])
+    lg.plot_metrics({"acc": [0.2, 0.4], "f1": [0.1, 0.3]})
     lg.finish()
     files = [f for f in os.listdir(tmp_path) if f.endswith(".jsonl")]
     assert files
-    lines = open(tmp_path / files[0]).read().strip().splitlines()
-    assert len(lines) == 2
+    lines = [json.loads(l) for l in
+             open(tmp_path / files[0]).read().strip().splitlines()]
+    assert len(lines) == 5
+    assert lines[2]["plots/loss"] == [1.0, 0.5, 0.25]
+    assert lines[4]["plots/f1"] == [0.1, 0.3]
 
 
 def test_plots_render(tmp_path, rng):

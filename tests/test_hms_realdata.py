@@ -194,6 +194,19 @@ def test_cli_train_multimodal_realdata(hms_tree, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_multimodal_mesh_realdata(hms_tree, tmp_path):
+    """--mesh on the REAL data path: the native ring-buffer gather
+    (reuse_buffers) + sync_transfers prefetch + data-axis sharding
+    compose — raw batches land sharded over the mesh before the fused
+    preprocess, and the shard_map DP step trains on them."""
+    rc = main(["train-multimodal", "--set", f"paths.data_root={hms_tree}",
+               "--set", "n_folds=2", "--epochs", "1", "--batch-size", "4",
+               "--mesh", "2", "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "multimodal").exists()
+
+
+@pytest.mark.slow
 def test_cli_train_multimodal_resume_matches_uninterrupted(
         hms_tree, tmp_path, capsys):
     """CLI-level resume equivalence on the real data path: 1 epoch +
