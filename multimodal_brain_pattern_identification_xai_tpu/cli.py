@@ -524,15 +524,25 @@ def cmd_train_diffeeg(args) -> int:
     from . import config as C, data, models, ops, train
 
     rng = np.random.default_rng(args.seed)
+    mesh, _ = _train_mesh(args)
+
+    def _round_bs(cfg):
+        # micro-batch sample axis must divide the mesh's data axis
+        if mesh is None or cfg.batch_size % args.mesh == 0:
+            return cfg
+        return dataclasses.replace(
+            cfg, batch_size=-(-cfg.batch_size // args.mesh) * args.mesh)
+
     if args.demo:
-        cfg = C.DiffEEGConfig(n_channels=4, input_length=256,
+        cfg = _round_bs(C.DiffEEGConfig(
+                              n_channels=4, input_length=256,
                               hidden_channels=8,
                               n_diffusion_steps=50,
                               gradient_accumulate_every=2,
                               batch_size=args.batch_size or 8,
                               evaluate_every=10, save_and_sample_every=10,
                               min_steps=args.epochs or 20,
-                              stft_n_fft=32, stft_noverlap=16)
+                              stft_n_fft=32, stft_noverlap=16))
 
         def batches(start=0):
             # micro-batch i is a pure function of (seed, i): a resumed run
@@ -564,6 +574,7 @@ def cmd_train_diffeeg(args) -> int:
         cfg = full.diffeeg                       # --set diffeeg.k=v works
         if args.batch_size:
             cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+        cfg = _round_bs(cfg)
         # keep the training split non-empty even on tiny --limit runs
         n_val = max(1, min(len(x) // 10, len(x) - 1))
         perm = rng.permutation(len(x))
@@ -614,9 +625,12 @@ def cmd_train_diffeeg(args) -> int:
 
     model = models.DiffEEG(n_channels=cfg.n_channels,
                            hidden=cfg.hidden_channels)
+    if mesh is not None:
+        print(f"training over a {args.mesh}-device data mesh, "
+              f"micro-batch {cfg.batch_size}")
     trainer = train.DiffEEGTrainer(model, cfg,
                                    ckpt_dir=f"{args.ckpt_dir}/diffeeg",
-                                   seed=args.seed)
+                                   seed=args.seed, mesh=mesh)
     if args.resume:
         at = trainer.load()
         print(f"resume: {'step ' + str(at) if at else 'no checkpoint found'}")

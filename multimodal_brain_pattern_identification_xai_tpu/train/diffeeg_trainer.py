@@ -42,7 +42,18 @@ logger = logging.getLogger(__name__)
 
 class DiffEEGTrainer:
     def __init__(self, model: DiffEEG, cfg: C.DiffEEGConfig,
-                 ckpt_dir: Optional[str] = None, seed: int = 42) -> None:
+                 ckpt_dir: Optional[str] = None, seed: int = 42,
+                 mesh: Optional[Any] = None,
+                 decorrelate_shards: bool = True) -> None:
+        #: ``mesh`` — data-parallel training: each micro-batch's sample
+        #: axis is sharded over the mesh's ``data`` axis inside a
+        #: shard_map step (grad psum in-program, like the epoch Trainer);
+        #: ``decorrelate_shards`` folds the shard index into the PRNG key
+        #: so shards draw independent noise/timesteps/mixup (the DDP-rank
+        #: behavior); disable it to reproduce a single-device trajectory
+        #: exactly (each shard then draws the same stream).
+        self.mesh = mesh
+        self.decorrelate_shards = decorrelate_shards
         self.model = model
         self.cfg = cfg
         self.schedule = make_schedule(cfg.n_diffusion_steps)
@@ -97,11 +108,13 @@ class DiffEEGTrainer:
             eps_pred = apply(params, x_t, y, t, spec)
             return jnp.mean((eps_pred - noise) ** 2)
 
-        @jax.jit
         def train_step(state: TrainState, ema: EMA, key: jax.Array,
                        xs: jnp.ndarray, ys: jnp.ndarray):
             """One optimizer step over K stacked micro-batches
             (K = gradient_accumulate_every)."""
+            if self.mesh is not None and self.decorrelate_shards:
+                key = jax.random.fold_in(key,
+                                         jax.lax.axis_index("data"))
             f = cfg.fuse_accum
             if f > 1:
                 # fold f micro-batches into each scanned fwd/bwd pass:
@@ -128,11 +141,28 @@ class DiffEEGTrainer:
             (gsum, lsum), _ = jax.lax.scan(scan_body, (zero, 0.0),
                                            (keys, xs, ys))
             grads = jax.tree_util.tree_map(lambda g: g / K, gsum)
+            loss = lsum / K
+            if self.mesh is not None:
+                # DDP-equivalent gradient all-reduce, riding ICI inside
+                # the compiled step; the optimizer/EMA update then runs
+                # replicated on identical averaged gradients
+                grads = jax.lax.pmean(grads, "data")
+                loss = jax.lax.pmean(loss, "data")
             state = state.apply_gradients(grads=grads)
             ema = ema_update(ema, state.params, state.step)
-            return state, ema, lsum / K
+            return state, ema, loss
 
-        return train_step
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            # micro-batches arrive stacked (K, B, ...): shard B (axis 1)
+            # over `data`; state/EMA/key replicate
+            return jax.jit(shard_map(
+                train_step, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(None, "data"), P(None, "data")),
+                out_specs=(P(), P(), P()),
+                check_rep=False))
+        return jax.jit(train_step)
 
     # ------------------------------------------------------------------
 

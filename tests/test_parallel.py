@@ -138,6 +138,52 @@ def test_trainer_with_mesh_matches_single_device(tmp_path, rng):
                                    rtol=1e-6, atol=0)
 
 
+def test_diffeeg_trainer_mesh_matches_single_device(rng):
+    """DiffEEGTrainer(mesh=...) — `train-diffeeg --mesh N` — psums the
+    accumulated gradients correctly: with shard decorrelation off and the
+    micro-batches tiled across the data axis, every shard reproduces the
+    single-device draw stream, so the 2-shard trajectory must equal the
+    single-device one on the untiled batch."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as CC
+
+    def cfg(bs):
+        return CC.DiffEEGConfig(n_channels=2, input_length=64,
+                                hidden_channels=4, n_diffusion_steps=6,
+                                gradient_accumulate_every=2, batch_size=bs,
+                                stft_n_fft=16, stft_noverlap=8)
+
+    mesh = parallel.make_mesh(C.MeshConfig(data=2, model=1, seq=1),
+                              devices=jax.devices()[:2])
+    single = train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4),
+                                  cfg(2), seed=0)
+    dp = train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4),
+                              cfg(4), seed=0, mesh=mesh,
+                              decorrelate_shards=False)
+
+    g = np.random.default_rng(3)
+    x = g.standard_normal((2, 2, 2, 64)).astype(np.float32)  # (K, B, C, T)
+    y = np.eye(6, dtype=np.float32)[g.integers(0, 6, (2, 2))]
+    x_tiled = np.concatenate([x, x], axis=1)                 # (K, 2B, C, T)
+    y_tiled = np.concatenate([y, y], axis=1)
+
+    key = jax.random.PRNGKey(11)
+    for _ in range(2):
+        single.state, single.ema, l_a = single._train_step(
+            single.state, single.ema, key, jnp.asarray(x), jnp.asarray(y))
+        dp.state, dp.ema, l_b = dp._train_step(
+            dp.state, dp.ema, key, jnp.asarray(x_tiled),
+            jnp.asarray(y_tiled))
+    assert abs(float(l_a) - float(l_b)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
+                    jax.tree_util.tree_leaves(dp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(single.ema.params),
+                    jax.tree_util.tree_leaves(dp.ema.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_tp_mlp_matches_dense(rng):
     import functools
     from jax.experimental.shard_map import shard_map
