@@ -99,15 +99,16 @@ def _load_cfg(args):
     return cfg
 
 
-def _train_mesh(args):
-    """``--mesh N`` on a training command → a ``data=N`` device mesh plus
-    the prefetcher sharding that lands raw train batches already sharded
-    over it (the fused preprocess then runs data-parallel too) — the
-    reference's DDP training entry point
+def _train_mesh(args, bs=None):
+    """``--mesh N`` on a training/serving command → a ``data=N`` device
+    mesh plus the prefetcher sharding that lands raw batches already
+    sharded over it (the fused preprocess then runs data-parallel too) —
+    the reference's DDP entry point
     (train_and_validate_eeg_distributed, training_distributed.py:22-141)
-    as a flag.  Returns ``(mesh | None, prefetch-kwargs)``."""
+    as a flag.  Returns ``(mesh | None, prefetch-kwargs, bs)`` with ``bs``
+    rounded up to divide the data axis."""
     if not args.mesh or args.mesh <= 1:
-        return None, {}
+        return None, {}, bs
     import jax
     from . import config as C, parallel
     n_dev = len(jax.devices())
@@ -116,9 +117,11 @@ def _train_mesh(args):
             f"error: --mesh {args.mesh} > {n_dev} visible devices")
     mesh = parallel.make_mesh(C.MeshConfig(data=args.mesh),
                               devices=jax.devices()[:args.mesh])
+    if bs is not None:
+        bs = -(-bs // args.mesh) * args.mesh
     # P('data') extends with replicated dims to any rank, so one sharding
     # covers the eeg/spec/y batch arrays
-    return mesh, {"sharding": parallel.batch_sharding(mesh, ndim=1)}
+    return mesh, {"sharding": parallel.batch_sharding(mesh, ndim=1)}, bs
 
 
 def _device_transform_chunks(raw: np.ndarray, fn, chunk: int = 256
@@ -199,9 +202,7 @@ def cmd_train_wavenet(args) -> int:
 
     bs = args.batch_size or 16
     epochs = args.epochs or 3
-    mesh, _ = _train_mesh(args)
-    if mesh is not None:
-        bs = -(-bs // args.mesh) * args.mesh   # batch divides the data axis
+    mesh, _, bs = _train_mesh(args, bs)
 
     def make_loaders(tr, va):
         # epoch-keyed shuffle seed (not a call counter): --resume replays
@@ -319,9 +320,7 @@ def cmd_train_multimodal(args) -> int:
      pf_kwargs) = _multimodal_data(args, cfg)
     eeg_model = models.EEGNetAttentionRegularized(**eeg_kwargs)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
-    mesh, tr_sh = _train_mesh(args)
-    if mesh is not None:
-        bs = -(-bs // args.mesh) * args.mesh
+    mesh, tr_sh, bs = _train_mesh(args, bs)
     # real-data windows are NaN-repaired at cache-build time -> the EEG
     # branch takes the montage-first fast path (mathematically identical
     # on finite inputs, tested); demo data keeps deliberate NaNs
@@ -447,9 +446,7 @@ def _train_branch(args, which: str) -> int:
     (sig, raw_batches, tr_idx, va_idx, eeg_kwargs,
      pf_kwargs) = _multimodal_data(args, cfg)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
-    mesh, tr_sh = _train_mesh(args)
-    if mesh is not None:
-        bs = -(-bs // args.mesh) * args.mesh
+    mesh, tr_sh, bs = _train_mesh(args, bs)
     if which == "eeg":
         model = models.EEGNetAttentionRegularized(**eeg_kwargs)
         pp = jax.jit(lambda e: ops.hms_eeg_preprocess(
@@ -524,7 +521,7 @@ def cmd_train_diffeeg(args) -> int:
     from . import config as C, data, models, ops, train
 
     rng = np.random.default_rng(args.seed)
-    mesh, _ = _train_mesh(args)
+    mesh, _, _ = _train_mesh(args)
 
     def _round_bs(cfg):
         # micro-batch sample axis must divide the mesh's data axis
@@ -783,7 +780,7 @@ def cmd_xai(args) -> int:
                                 "eeg_saliency",
                                 xai.channel_select.channel_names_37())
     eeg_fwd = lambda e: mm.apply(variables, e, method=mm.forward_eeg)
-    mesh, _ = _train_mesh(args)
+    mesh, _, _ = _train_mesh(args)
     if mesh is not None:
         # pod-sharded attribution (BASELINE config #5): the explained
         # samples split over the data axis, each device running its own
@@ -875,6 +872,12 @@ def cmd_predict(args) -> int:
     cfg = _load_cfg(args)
     rng = np.random.default_rng(args.seed)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
+    # validate --mesh (and round bs) BEFORE the expensive source build +
+    # checkpoint restore; data-parallel serving: shard the batch axis over
+    # a `data`-only mesh; the captured params replicate and XLA partitions
+    # the fused preprocess+forward across devices (forward-only, so the
+    # grouped-conv GRADIENT partitioner hazard does not apply)
+    mesh, m_sh, bs = _train_mesh(args, bs)
     if args.demo:
         n = 12
         sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
@@ -933,20 +936,8 @@ def cmd_predict(args) -> int:
         pp_kwargs = dict(assume_finite=True)
 
     put = jnp.asarray
-    if args.mesh and args.mesh > 1:
-        # data-parallel serving: shard the batch axis over a `data`-only
-        # mesh; the captured params replicate and XLA partitions the
-        # fused preprocess+forward across devices (forward-only, so the
-        # grouped-conv GRADIENT partitioner hazard does not apply)
-        from . import parallel
-        n_dev = len(jax.devices())
-        if args.mesh > n_dev:
-            print(f"error: --mesh {args.mesh} > {n_dev} visible devices")
-            return 1
-        mesh = parallel.make_mesh(C.MeshConfig(data=args.mesh),
-                                  devices=jax.devices()[:args.mesh])
-        bs = -(-bs // args.mesh) * args.mesh     # round up to divisible
-        sh = parallel.mesh.batch_sharding(mesh, ndim=3)
+    if mesh is not None:
+        sh = m_sh["sharding"]
         put = lambda a: jax.device_put(jnp.asarray(a), sh)
         print(f"serving over a {args.mesh}-device data mesh, batch {bs}")
 
@@ -995,7 +986,12 @@ def cmd_grid_search(args) -> int:
         if not vals:
             print(f"error: --grid {spec!r} is not name=v1,v2,...")
             return 1
-        grid[name.strip()] = [float(v) for v in vals.split(",")]
+        try:
+            grid[name.strip()] = [float(v) for v in vals.split(",")]
+        except ValueError:
+            print(f"error: --grid {spec!r} has a non-numeric value "
+                  "(grid axes must be numbers)")
+            return 1
 
     rng = np.random.default_rng(args.seed)
     if args.demo:

@@ -34,6 +34,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..train.losses import kldiv_with_logits, l2_regularization
 from ..train.state import TrainState
+from ..train.steps import optax_global_norm
 from . import mesh as mesh_lib
 
 
@@ -71,8 +72,16 @@ def state_shardings(mesh: Mesh, state: TrainState,
 def make_parallel_train_step(mesh: Mesh, state: TrainState,
                              loss_fn: Callable = kldiv_with_logits,
                              l2_lambda: float = 0.0,
-                             donate: bool = True) -> Callable:
-    """Build the data-parallel train step for a given state structure."""
+                             donate: bool = True,
+                             nan_sentinel: bool = True) -> Callable:
+    """Build the data-parallel train step for a given state structure.
+
+    ``nan_sentinel`` mirrors :func:`..train.steps.make_train_step`: a
+    non-finite loss or gradient skips the update (params, optimizer state
+    and batch statistics unchanged) and flags ``metrics['nonfinite']`` —
+    the psum-averaged loss/grads are replicated, so every device takes the
+    same branch and the mesh stays in lockstep.
+    """
     has_bn = state.batch_stats is not None
 
     def local_grads(params, batch_stats, batch, rng, step):
@@ -117,9 +126,27 @@ def make_parallel_train_step(mesh: Mesh, state: TrainState,
         bs = state.batch_stats if has_bn else {}
         loss, grads, updates = fn(state.params, bs, batch,
                                   rng, jnp.asarray(state.step))
-        state = state.apply_gradients(grads=grads)
+        grad_norm = optax_global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        if nan_sentinel:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        new_state = state.apply_gradients(grads=grads)
+        if nan_sentinel:
+            # keep optimizer state untouched on a skipped step
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o)
+                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
+                else n,
+                new_state, state)
         if has_bn:
-            state = state.replace(batch_stats=updates["batch_stats"])
-        return state, {"loss": loss}
+            new_bs = updates["batch_stats"]
+            if nan_sentinel:
+                new_bs = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(finite, n, o),
+                    new_bs, state.batch_stats)
+            new_state = new_state.replace(batch_stats=new_bs)
+        return new_state, {"loss": loss, "grad_norm": grad_norm,
+                           "nonfinite": ~finite}
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

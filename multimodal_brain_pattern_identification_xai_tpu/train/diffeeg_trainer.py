@@ -148,9 +148,29 @@ class DiffEEGTrainer:
                 # replicated on identical averaged gradients
                 grads = jax.lax.pmean(grads, "data")
                 loss = jax.lax.pmean(loss, "data")
-            state = state.apply_gradients(grads=grads)
-            ema = ema_update(ema, state.params, state.step)
-            return state, ema, loss
+            # NaN sentinel (same contract as train.steps.make_train_step):
+            # a non-finite loss/gradient skips the optimizer AND EMA update
+            # so one bad accumulation window can't poison the run — the
+            # in-jit analogue of the reference's NaN-abort guards
+            # (DiffEEG_utils.py:152-176)
+            gnorm = jnp.sqrt(sum(jnp.vdot(g, g).real
+                                 for g in jax.tree_util.tree_leaves(grads)))
+            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            new_state = state.apply_gradients(grads=grads)
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o)
+                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
+                else n,
+                new_state, state)
+            new_ema = ema_update(ema, new_state.params, new_state.step)
+            new_ema = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o)
+                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
+                else n,
+                new_ema, ema)
+            return new_state, new_ema, loss
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P

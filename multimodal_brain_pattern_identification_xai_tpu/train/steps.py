@@ -83,9 +83,16 @@ def make_train_step(loss_fn: Callable = kldiv_with_logits,
                 if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
                 else n,
                 new_state, state)
-        state = new_state
         if mutable:
-            state = state.replace(batch_stats=updates["batch_stats"])
+            new_bs = updates["batch_stats"]
+            if nan_sentinel:
+                # a non-finite loss usually means the activations were bad
+                # too — don't fold the poisoned batch statistics in either
+                new_bs = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(finite, n, o),
+                    new_bs, state.batch_stats)
+            new_state = new_state.replace(batch_stats=new_bs)
+        state = new_state
         if ema_decay is not None and state.ema_params is not None:
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),

@@ -116,6 +116,12 @@ class Trainer:
             if i % self.cfg.log_every == 0:
                 for lg in self.loggers:
                     lg.log_loss(float(metrics["loss"]), int(self.state.step))
+        if not losses:
+            raise ValueError(
+                "training iterator yielded no batches — the batch size "
+                "(rounded up for --mesh when set) likely exceeds the "
+                "training-split size, and drop_last discards the short "
+                "tail batch")
         return float(jnp.mean(jnp.stack(losses)))
 
     def eval_epoch(self, val_iter: Iterable[Dict[str, np.ndarray]]):

@@ -53,10 +53,12 @@ class WandbLogger:
                  log_dir: str = "logs", config: Optional[Dict] = None):
         self.exp_id = exp_id
         self._wandb = None
+        self._wandb_mod = None
         try:
             import wandb  # noqa: F401
             self._wandb = wandb.init(project=project, name=exp_id,
                                      config=config or {})
+            self._wandb_mod = wandb
         except Exception:
             os.makedirs(log_dir, exist_ok=True)
             self._path = os.path.join(log_dir, f"metrics_{exp_id}.jsonl")
@@ -83,12 +85,12 @@ class WandbLogger:
         records the full series in one row."""
         series = [float(v) for v in losses]
         if self._wandb is not None:
-            table = self._wandb.Table(
+            # Table/plot live on the wandb MODULE, not the Run object
+            table = self._wandb_mod.Table(
                 data=[[i, v] for i, v in enumerate(series)],
-                columns=["step", label]) if hasattr(self._wandb, "Table") \
-                else None
-            self._emit({f"plots/{label}": table if table is not None
-                        else series})
+                columns=["step", label])
+            self._emit({f"plots/{label}": self._wandb_mod.plot.line(
+                table, "step", label, title=label)})
         else:
             self._emit({f"plots/{label}": series})
 

@@ -243,3 +243,45 @@ def test_diffeeg_evaluate_uses_ema_params(tmp_path):
     tr.rng = jax.random.PRNGKey(7)
     diff = tr.evaluate(val, frac=1.0)
     assert diff["mmd"] != pytest.approx(base["mmd"])
+
+
+def test_diffeeg_step_nan_sentinel_skips_update():
+    """A micro-batch with non-finite values must skip the optimizer AND
+    EMA update (params/opt-state/EMA unchanged) instead of poisoning the
+    run — the in-jit analogue of the reference's NaN-abort guards
+    (DiffEEG_utils.py:152-176)."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu import (models,
+                                                                 train)
+
+    cfg = C.DiffEEGConfig(n_channels=2, input_length=64, hidden_channels=4,
+                          n_diffusion_steps=6, gradient_accumulate_every=2,
+                          batch_size=2, stft_n_fft=16, stft_noverlap=8)
+    tr = train.DiffEEGTrainer(models.DiffEEG(n_channels=2, hidden=4), cfg,
+                              seed=0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 2, 2, 64)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[np.array([[0, 1], [2, 3]])]
+
+    bad = x.copy()
+    bad[0, 0, 0, :4] = np.nan
+    state0, ema0 = tr.state, tr.ema
+    new_state, new_ema, loss = tr._train_step(
+        tr.state, tr.ema, jax.random.PRNGKey(1),
+        jnp.asarray(bad), jnp.asarray(y))
+    assert not np.isfinite(float(loss))
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(state0.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(new_ema.params),
+                    jax.tree_util.tree_leaves(ema0.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a finite window still updates
+    new_state, _, loss = tr._train_step(
+        tr.state, tr.ema, jax.random.PRNGKey(1),
+        jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(loss))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                               jax.tree_util.tree_leaves(state0.params)))

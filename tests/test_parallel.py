@@ -311,3 +311,35 @@ def test_multimodal_dp_step_on_mesh(rng):
         new_state.params["eeg_model"]["stem"]["depthwiseConv_kernel"]
         - state.params["eeg_model"]["stem"]["depthwiseConv_kernel"])
     assert np.abs(dw).max() > 0
+
+
+def test_parallel_step_nan_sentinel_skips_update(rng):
+    """A non-finite batch on the mesh path must SKIP the update (params,
+    optimizer state and batch stats unchanged) and flag
+    ``metrics['nonfinite']`` — the same contract as the single-device
+    ``make_train_step`` sentinel (the in-jit analogue of the reference's
+    NaN-abort guards, DiffEEG_utils.py:152-176)."""
+    state, batch = _setup_state(rng)          # EEGNet: exercises BN stats
+    mesh = parallel.make_mesh(C.MeshConfig(data=4, model=2, seq=1))
+    step = parallel.make_parallel_train_step(mesh, state, donate=False)
+
+    bad = dict(batch)
+    bad["x"] = batch["x"].copy()
+    bad["x"][0, 0, 0, :4] = np.nan
+    sb = parallel.shard_batch(mesh, bad)
+    new_state, m = step(state, sb, jax.random.PRNGKey(1))
+    assert bool(m["nonfinite"])
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and a finite batch still updates
+    sb = parallel.shard_batch(mesh, batch)
+    new_state, m = step(state, sb, jax.random.PRNGKey(1))
+    assert not bool(m["nonfinite"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                               jax.tree_util.tree_leaves(state.params)))

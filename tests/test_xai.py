@@ -239,3 +239,43 @@ def test_integrated_gradients_match_torch(imported_eegnet, rng):
             1, target[:, None])[:, 0].numpy()
     np.testing.assert_allclose(got.reshape(len(x), -1).sum(1), fx - f0,
                                rtol=0.05, atol=0.05)
+
+
+def test_expected_gradients_match_torch(imported_eegnet, rng):
+    """Expected-gradients (the SHAP GradientExplainer estimator,
+    XAI_Multimodality.py:2242-2329) on the imported checkpoint matches a
+    torch-autograd implementation fed the IDENTICAL Monte-Carlo draws:
+    for each draw, (x − b) · ∂f_c(b + α(x − b))/∂x — pinning the
+    estimator math and the gradients to fp32 tolerance."""
+    torch = __import__("torch")
+    torch_forward, fwd, samples = imported_eegnet
+    nsamples, n_bg = 32, 6
+    x = rng.standard_normal((2, 1, 37, samples)).astype(np.float32)
+    bg = rng.standard_normal((n_bg, 1, 37, samples)).astype(np.float32)
+
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        target = torch_forward(xt).argmax(dim=1)
+
+    key = jax.random.PRNGKey(3)
+    got = np.asarray(xai.expected_gradients(
+        fwd, jnp.asarray(x), jnp.asarray(bg), key,
+        jnp.asarray(target.numpy()), nsamples=nsamples))
+
+    # replay the exact draws expected_gradients makes from `key`
+    kb, ka = jax.random.split(key)
+    bg_idx = np.asarray(jax.random.randint(kb, (nsamples, len(x)), 0, n_bg))
+    alphas = np.asarray(jax.random.uniform(ka, (nsamples, len(x))))
+
+    bgt = torch.from_numpy(bg)
+    acc = torch.zeros_like(xt)
+    for s in range(nsamples):
+        b = bgt[torch.from_numpy(bg_idx[s])]
+        a = torch.from_numpy(alphas[s]).reshape(-1, 1, 1, 1)
+        point = (b + a * (xt - b)).clone().requires_grad_(True)
+        out = torch_forward(point)
+        out.gather(1, target[:, None]).sum().backward()
+        acc += (xt - b) * point.grad
+    want = (acc / nsamples).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-6)
+    assert np.abs(want).max() > 0
