@@ -426,11 +426,15 @@ def bench_diffeeg_train() -> None:
 
     # BENCH_FUSE=f folds f accumulation micro-batches into each scanned
     # fwd/bwd pass (DiffEEGConfig.fuse_accum) — same averaged gradient,
-    # f× larger MXU batches for the small (~350k-param) denoiser
+    # f× larger MXU batches for the small (~350k-param) denoiser.
+    # BENCH_DIFF_BF16=1 flips on the bf16-compute AMP analogue
+    # (DiffEEGConfig.amp; params/norms/loss stay f32).
     cfg = C.DiffEEGConfig(batch_size=int(os.environ.get("BENCH_BATCH", 64)),
-                          fuse_accum=int(os.environ.get("BENCH_FUSE", 1)))
+                          fuse_accum=int(os.environ.get("BENCH_FUSE", 1)),
+                          amp=os.environ.get("BENCH_DIFF_BF16", "0") == "1")
     model = models.DiffEEG(n_channels=cfg.n_channels,
-                           hidden=cfg.hidden_channels)
+                           hidden=cfg.hidden_channels,
+                           dtype=jnp.bfloat16 if cfg.amp else None)
     trainer = train.DiffEEGTrainer(model, cfg, ckpt_dir=None, seed=0)
     K, B, T = (cfg.gradient_accumulate_every, cfg.batch_size,
                cfg.input_length)

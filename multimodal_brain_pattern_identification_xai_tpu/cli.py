@@ -620,8 +620,10 @@ def cmd_train_diffeeg(args) -> int:
                               cfg.batch_size)]
         total = args.epochs or cfg.min_steps
 
+    import jax.numpy as jnp
     model = models.DiffEEG(n_channels=cfg.n_channels,
-                           hidden=cfg.hidden_channels)
+                           hidden=cfg.hidden_channels,
+                           dtype=jnp.bfloat16 if cfg.amp else None)
     if mesh is not None:
         print(f"training over a {args.mesh}-device data mesh, "
               f"micro-batch {cfg.batch_size}")

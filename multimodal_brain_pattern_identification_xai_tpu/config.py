@@ -186,6 +186,13 @@ class DiffEEGConfig:
     #: (~350k params), so B=64 under-fills the MXU; fusing raises per-pass
     #: batch to f·B.  1 = the reference's exact accumulation grouping.
     fuse_accum: int = 1
+    #: bf16 compute in the denoiser's dense/conv layers (params, norms,
+    #: loss and optimizer state stay f32) — the TPU analogue of the
+    #: reference's AMP autocast + GradScaler training
+    #: (DiffEEG_train.py:147-154).  Off by default so the pinned f32
+    #: trajectories stay bitwise-reproducible; flip with
+    #: ``--set diffeeg.amp=true``.
+    amp: bool = False
 
 
 @dataclass(frozen=True)
@@ -290,7 +297,9 @@ def load_config(path: Optional[str] = None,
         try:
             pyval: Any = ast.literal_eval(val)
         except (ValueError, SyntaxError):
-            pyval = val
+            # YAML-style booleans: ``--set diffeeg.amp=false`` must not
+            # become the TRUTHY string "false"
+            pyval = {"true": True, "false": False}.get(val.lower(), val)
         parts = key.split(".")
         d: Dict[str, Any] = {parts[-1]: pyval}
         for p in reversed(parts[:-1]):

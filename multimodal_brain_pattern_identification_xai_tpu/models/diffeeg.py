@@ -120,28 +120,36 @@ def sinusoidal_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 class GTU(nn.Module):
     """Gated Tanh Unit (diffEEG.py:9-18): tanh(conv1) ⊙ sigmoid(conv2)."""
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T, C)
         c = x.shape[-1]
-        return (jnp.tanh(nn.Conv(c, (1,), name="conv1")(x))
-                * nn.sigmoid(nn.Conv(c, (1,), name="conv2")(x)))
+        return (jnp.tanh(nn.Conv(c, (1,), dtype=self.dtype,
+                                 name="conv1")(x))
+                * nn.sigmoid(nn.Conv(c, (1,), dtype=self.dtype,
+                                     name="conv2")(x)))
 
 
 class ResidualBlock(nn.Module):
     """conv1×1 → ReLU → dilated conv3 → conv1×1 → GroupNorm(1) → Dropout
-    (diffEEG.py:82-90)."""
+    (diffEEG.py:82-90).  ``dtype`` sets the conv compute dtype (bf16 AMP);
+    the GroupNorm stays in the promoted f32, the usual mixed-precision
+    discipline."""
     channels: int
     dilation: int
     dropout: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.channels, (1,), name="conv_in")(x)
+        x = nn.Conv(self.channels, (1,), dtype=self.dtype,
+                    name="conv_in")(x)
         x = nn.relu(x)
         x = nn.Conv(self.channels, (3,), kernel_dilation=(self.dilation,),
-                    padding="SAME", name="conv_dil")(x)
-        x = nn.Conv(self.channels, (1,), name="conv_out")(x)
+                    padding="SAME", dtype=self.dtype, name="conv_dil")(x)
+        x = nn.Conv(self.channels, (1,), dtype=self.dtype,
+                    name="conv_out")(x)
         x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
@@ -160,29 +168,40 @@ class DiffEEG(nn.Module):
     n_channels: int = 19
     hidden: int = 32
     dropout: float = 0.1
+    #: compute dtype for the dense/conv layers (params stay f32).
+    #: ``jnp.bfloat16`` is the TPU analogue of the reference's AMP
+    #: autocast training (DiffEEG_train.py:147-154); norms run in the
+    #: promoted f32.  None (default) = all-f32, the exactness-pinned mode.
+    dtype: object = None
 
     def setup(self):
-        H = self.hidden
-        self.step_mlp_0 = nn.Dense(H, name="step_mlp_0")
-        self.step_mlp_2 = nn.Dense(H, name="step_mlp_2")
-        self.step_mlp_4 = nn.Dense(H, name="step_mlp_4")
-        self.class_embedding = nn.Embed(self.n_classes, H,
+        H, dt = self.hidden, self.dtype
+        self.step_mlp_0 = nn.Dense(H, dtype=dt, name="step_mlp_0")
+        self.step_mlp_2 = nn.Dense(H, dtype=dt, name="step_mlp_2")
+        self.step_mlp_4 = nn.Dense(H, dtype=dt, name="step_mlp_4")
+        self.class_embedding = nn.Embed(self.n_classes, H, dtype=dt,
                                         name="class_embedding")
         self.spectrogram_upsample1 = nn.ConvTranspose(
             H // 2, (3, 3), strides=(1, 8), padding=((1, 1), (2, 2)),
-            name="spectrogram_upsample1")
-        self.channel_expand = nn.Conv(H, (1,), name="channel_expand")
-        self.spectrogram_project = nn.Conv(H, (1,), name="spectrogram_project")
-        self.gtu = GTU(name="gtu")
-        self.input_conv = nn.Conv(H, (1,), name="input_conv")
-        self.res_block1 = ResidualBlock(H, 1, self.dropout, name="res_block1")
-        self.res_block2 = ResidualBlock(H, 2, self.dropout, name="res_block2")
-        self.res_block3 = ResidualBlock(H, 4, self.dropout, name="res_block3")
-        self.res_block4 = ResidualBlock(H, 8, self.dropout, name="res_block4")
-        self.skip_sum = nn.Conv(H, (1,), name="skip_sum")
+            dtype=dt, name="spectrogram_upsample1")
+        self.channel_expand = nn.Conv(H, (1,), dtype=dt,
+                                      name="channel_expand")
+        self.spectrogram_project = nn.Conv(H, (1,), dtype=dt,
+                                           name="spectrogram_project")
+        self.gtu = GTU(dtype=dt, name="gtu")
+        self.input_conv = nn.Conv(H, (1,), dtype=dt, name="input_conv")
+        self.res_block1 = ResidualBlock(H, 1, self.dropout, dtype=dt,
+                                        name="res_block1")
+        self.res_block2 = ResidualBlock(H, 2, self.dropout, dtype=dt,
+                                        name="res_block2")
+        self.res_block3 = ResidualBlock(H, 4, self.dropout, dtype=dt,
+                                        name="res_block3")
+        self.res_block4 = ResidualBlock(H, 8, self.dropout, dtype=dt,
+                                        name="res_block4")
+        self.skip_sum = nn.Conv(H, (1,), dtype=dt, name="skip_sum")
         self.layer_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5,
                                        name="layer_norm")
-        self.final_0 = nn.Conv(H, (1,), name="final_0")
+        self.final_0 = nn.Conv(H, (1,), dtype=dt, name="final_0")
         self.final_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5,
                                        name="final_norm")
         self.final_out = nn.Conv(self.n_channels, (1,), name="final_out")
@@ -210,6 +229,10 @@ class DiffEEG(nn.Module):
         class_emb = self.class_embedding(labels)[:, None, :]   # (B, 1, H)
 
         s = jnp.transpose(spec, (0, 2, 3, 1))            # (B, F, Ts, C)
+        if self.dtype is not None:
+            # the manual gather-matmul path below runs in the module's
+            # compute dtype, like the flax layers do for the dense chain
+            s = s.astype(self.dtype)
         B, F, Ts, Ci = s.shape
         up = self.spectrogram_upsample1
         idx_f, idx_t, ok_f, ok_t, w = _gather_plan(

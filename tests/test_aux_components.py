@@ -330,3 +330,17 @@ def test_trainer_epoch_callbacks(tmp_path, rng):
     trainer.train_eval(lambda: iter([batch]), lambda: iter([batch]))
     assert [c[0] for c in calls] == [0, 1]
     assert "kldiv" in calls[0][1]
+
+
+def test_config_override_bool_coercion():
+    """``--set x=false`` must become bool False, not the truthy string
+    "false" (and numerics/strings keep their ast coercion)."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    cfg = C.load_config(None, ["diffeeg.amp=true"])
+    assert cfg.diffeeg.amp is True
+    cfg = C.load_config(None, ["diffeeg.amp=false"])
+    assert cfg.diffeeg.amp is False
+    cfg = C.load_config(None, ["diffeeg.amp=True"])
+    assert cfg.diffeeg.amp is True
+    cfg = C.load_config(None, ["trainer.lr=1e-4"])
+    assert cfg.trainer.lr == 1e-4

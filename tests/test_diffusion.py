@@ -285,3 +285,38 @@ def test_diffeeg_step_nan_sentinel_skips_update():
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                                jax.tree_util.tree_leaves(state0.params)))
+
+
+def test_diffeeg_amp_bf16_trains_with_f32_params():
+    """DiffEEGConfig.amp (the reference's AMP autocast analogue,
+    DiffEEG_train.py:147-154): conv/dense compute in bf16, params and the
+    optimizer update stay f32, the loss is finite, and a few steps reduce
+    it on a learnable toy target."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu import (models,
+                                                                 train)
+
+    cfg = C.DiffEEGConfig(n_channels=2, input_length=64, hidden_channels=8,
+                          n_diffusion_steps=6, gradient_accumulate_every=2,
+                          batch_size=4, stft_n_fft=16, stft_noverlap=8,
+                          lr=1e-2, amp=True)
+    tr = train.DiffEEGTrainer(
+        models.DiffEEG(n_channels=2, hidden=8, dtype=jnp.bfloat16), cfg,
+        seed=0)
+    # master params stay f32
+    for leaf in jax.tree_util.tree_leaves(tr.state.params):
+        assert leaf.dtype == jnp.float32
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 2, 64)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, (2, 4))]
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        key, k = jax.random.split(key)
+        tr.state, tr.ema, loss = tr._train_step(
+            tr.state, tr.ema, k, jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    for leaf in jax.tree_util.tree_leaves(tr.state.params):
+        assert leaf.dtype == jnp.float32
