@@ -104,7 +104,8 @@ class Trainer:
     def train_epoch(self, train_iter: Iterable[Dict[str, np.ndarray]],
                     epoch: int) -> float:
         losses = []
-        for i, batch in enumerate(train_iter):
+        skips = []        # device flags; summed once at epoch end (no
+        for i, batch in enumerate(train_iter):      # per-step host sync)
             if self.cfg.step_per_batch:
                 self._maybe_set_lr(int(self.state.step))
             if self._shard is not None:
@@ -113,6 +114,8 @@ class Trainer:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             losses.append(metrics["loss"])
+            if "nonfinite" in metrics:
+                skips.append(metrics["nonfinite"])
             if i % self.cfg.log_every == 0:
                 for lg in self.loggers:
                     lg.log_loss(float(metrics["loss"]), int(self.state.step))
@@ -122,7 +125,17 @@ class Trainer:
                 "(rounded up for --mesh when set) likely exceeds the "
                 "training-split size, and drop_last discards the short "
                 "tail batch")
-        return float(jnp.mean(jnp.stack(losses)))
+        stack = jnp.stack(losses)
+        n_skip = int(jnp.stack(skips).sum()) if skips else 0
+        if n_skip:
+            # skipped updates left NaN losses behind; report the mean of
+            # the applied steps and surface the event (SURVEY §5.3)
+            logger.warning("epoch %d: %d/%d batches skipped by the "
+                           "non-finite sentinel", epoch, n_skip, len(losses))
+            good = jnp.isfinite(stack)
+            return float(jnp.where(good, stack, 0.0).sum()
+                         / jnp.maximum(good.sum(), 1))
+        return float(jnp.mean(stack))
 
     def eval_epoch(self, val_iter: Iterable[Dict[str, np.ndarray]]):
         all_logits, all_targets, losses = [], [], []

@@ -431,3 +431,25 @@ def test_diffeeg_train_already_finished_is_noop(tmp_path):
     hist = tr2.train(lambda: iter(list(items)), total_steps=2)
     assert hist["loss"] == []
     assert int(tr2.state.step) == 2
+
+
+def test_trainer_epoch_reports_skipped_nonfinite_batches(caplog):
+    """An epoch containing a NaN batch reports the mean of the APPLIED
+    steps (not NaN) and logs the sentinel skip (SURVEY §5.3)."""
+    import logging as _logging
+    model = models.EEGNet(samples=64, kern_length=8)
+    rng_np = np.random.default_rng(0)
+    x = rng_np.standard_normal((8, 1, 37, 64)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng_np.integers(0, 6, 8)]
+    state = train.create_train_state(model, (jnp.asarray(x[:2]),),
+                                     train.state.make_optimizer(1e-3),
+                                     jax.random.PRNGKey(0))
+    tr = train.Trainer(state, train.TrainerConfig(epochs=1))
+    bad = x[4:].copy()
+    bad[0, 0, 0, :4] = np.nan
+    batches = [{"x": x[:4], "y": y[:4]}, {"x": bad, "y": y[4:]}]
+    with caplog.at_level(_logging.WARNING):
+        loss = tr.train_epoch(iter(batches), epoch=0)
+    assert np.isfinite(loss)
+    assert any("skipped by the non-finite sentinel" in r.message
+               for r in caplog.records)
