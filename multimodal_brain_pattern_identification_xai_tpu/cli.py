@@ -1029,6 +1029,17 @@ def cmd_grid_search(args) -> int:
     return 0
 
 
+def cmd_dump_config(args) -> int:
+    """Print the effective configuration (defaults + ``--config`` YAML +
+    ``--set`` overrides) as round-trippable YAML — the generated
+    counterpart of the reference's hand-maintained config.yml.  Save it
+    and pass it back with ``--config`` to pin a run's full parameter
+    set."""
+    from . import config as C
+    print(C.dump_yaml(_load_cfg(args)), end="")
+    return 0
+
+
 def cmd_sanity_check(args) -> int:
     """Autoencoder sanity training + sample grids — the counterpart of the
     reference's MNIST sanity loop (main.py:226-271, diffEEG.py:151-212,
@@ -1159,6 +1170,7 @@ COMMANDS = {
     "grid-search": cmd_grid_search,
     "sanity-check": cmd_sanity_check,
     "bench": cmd_bench,
+    "dump-config": cmd_dump_config,
 }
 
 

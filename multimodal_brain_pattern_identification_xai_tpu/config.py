@@ -263,6 +263,12 @@ def _interp(value: Any, root: Dict[str, Any]) -> Any:
     return value
 
 
+def _deep_tuple(v: Any) -> Any:
+    if isinstance(v, (list, tuple)):
+        return tuple(_deep_tuple(x) for x in v)
+    return v
+
+
 def _update_dataclass(obj: Any, updates: Dict[str, Any]) -> Any:
     """Recursively apply a dict of overrides onto a (frozen) dataclass."""
     if not dataclasses.is_dataclass(obj):
@@ -274,9 +280,40 @@ def _update_dataclass(obj: Any, updates: Dict[str, Any]) -> Any:
             upd = updates[f.name]
             if dataclasses.is_dataclass(cur) and isinstance(upd, dict):
                 kwargs[f.name] = _update_dataclass(cur, upd)
+            elif isinstance(cur, tuple) and isinstance(upd, list):
+                # YAML has no tuples; keep tuple-typed fields (channel
+                # vocab, montage pairs, image_size) hashable on reload
+                kwargs[f.name] = _deep_tuple(upd)
             else:
                 kwargs[f.name] = upd
     return dataclasses.replace(obj, **kwargs)
+
+
+def dump_yaml(cfg: Config) -> str:
+    """Serialize a :class:`Config` to YAML loadable by
+    :func:`load_config` — the round-trippable counterpart of the
+    reference's hand-maintained config.yml (571 lines that this replaces
+    with one generated document)."""
+    import yaml
+
+    def clean(o: Any) -> Any:
+        if dataclasses.is_dataclass(o):
+            return {f.name: clean(getattr(o, f.name))
+                    for f in dataclasses.fields(o)}
+        if isinstance(o, (list, tuple)):
+            return [clean(x) for x in o]
+        return o
+
+    doc = clean(cfg)
+    # re-template the derived paths so a reloaded file still re-derives
+    # them from a ``--set paths.data_root=...`` override
+    root = doc["paths"].get("data_root", "")
+    if root:
+        for k, v in doc["paths"].items():
+            if k != "data_root" and isinstance(v, str) \
+                    and v.startswith(root):
+                doc["paths"][k] = "${data_root}" + v[len(root):]
+    return yaml.safe_dump(doc, sort_keys=False, width=78)
 
 
 def load_config(path: Optional[str] = None,

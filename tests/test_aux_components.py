@@ -344,3 +344,28 @@ def test_config_override_bool_coercion():
     assert cfg.diffeeg.amp is True
     cfg = C.load_config(None, ["trainer.lr=1e-4"])
     assert cfg.trainer.lr == 1e-4
+
+
+def test_dump_config_roundtrip(tmp_path, capsys):
+    """`dump-config` emits YAML that load_config round-trips exactly
+    (incl. tuple-typed vocab fields and re-templated ${data_root} paths)
+    — the generated counterpart of the reference's config.yml."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu.cli import main
+
+    assert main(["dump-config", "--set", "trainer.lr=0.005"]) == 0
+    text = capsys.readouterr().out
+    p = tmp_path / "cfg.yml"
+    p.write_text(text)
+    cfg = C.load_config(str(p))
+    assert cfg.trainer.lr == 0.005
+    assert cfg == C.load_config(None, ["trainer.lr=0.005"])
+    assert isinstance(cfg.map_features[0], tuple)
+    # ${data_root} stays a template → override re-derives every path
+    cfg2 = C.load_config(str(p), ["paths.data_root=/tmp/elsewhere"])
+    assert cfg2.paths.train_csv == "/tmp/elsewhere/train.csv"
+    # the shipped default file matches the in-code defaults
+    import os
+    shipped = os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "default.yml")
+    assert C.load_config(shipped) == C.load_config(None)
