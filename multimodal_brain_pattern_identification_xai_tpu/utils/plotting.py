@@ -104,6 +104,51 @@ def plot_real_vs_generated(real: np.ndarray, generated: np.ndarray,
     return path
 
 
+def plot_lr_and_regularization(lrs: Sequence[float],
+                               reg_losses: Sequence[float], save_dir: str,
+                               name: str = "lr_and_regularization") -> str:
+    """Two-panel LR-schedule + regularization-loss curves
+    (plot_learning_rate_and_regularization, data_utils.py:467-501)."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    fig, (a0, a1) = plt.subplots(1, 2, figsize=(10, 4))
+    a0.plot(list(lrs))
+    a0.set_title("learning rate")
+    a0.set_xlabel("epoch")
+    a1.plot(list(reg_losses), color="tab:orange")
+    a1.set_title("regularization loss")
+    a1.set_xlabel("epoch")
+    fig.tight_layout()
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_spectrogram_pair(raw: np.ndarray, processed: np.ndarray,
+                          save_dir: str,
+                          name: str = "spectrogram_pair") -> str:
+    """Raw-vs-processed spectrogram panels (plot_spectrograms,
+    data_utils.py:99-127).  ``processed`` may carry a trailing tiled
+    channel axis; panel shows channel 0 like the reference."""
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+    proc = np.asarray(processed)
+    if proc.ndim == 3:
+        proc = proc[..., 0] if proc.shape[-1] <= 4 else proc[0]
+    fig, (a0, a1) = plt.subplots(1, 2, figsize=(12, 5))
+    im0 = a0.imshow(np.asarray(raw), aspect="auto", cmap="viridis")
+    a0.set_title("raw")
+    fig.colorbar(im0, ax=a0)
+    im1 = a1.imshow(proc, aspect="auto", cmap="viridis")
+    a1.set_title("processed")
+    fig.colorbar(im1, ax=a1)
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_saliency_heatmap(saliency: np.ndarray, save_dir: str,
                           name: str = "saliency",
                           channel_names: Optional[Sequence[str]] = None

@@ -135,7 +135,11 @@ def test_plots_render(tmp_path, rng):
                                       rng.standard_normal((1, 4, 100)),
                                       str(tmp_path))
     p5 = utils.plot_saliency_heatmap(rng.random((37, 100)), str(tmp_path))
-    for p in (p1, p2, p3, p4, p5):
+    p6 = utils.plot_lr_and_regularization([1e-3, 5e-4, 1e-4],
+                                          [0.5, 0.4, 0.35], str(tmp_path))
+    p7 = utils.plot_spectrogram_pair(rng.random((80, 60)),
+                                     rng.random((80, 60, 3)), str(tmp_path))
+    for p in (p1, p2, p3, p4, p5, p6, p7):
         assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
