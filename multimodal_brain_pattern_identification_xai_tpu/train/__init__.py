@@ -10,7 +10,7 @@ from .schedules import (warmup_cosine_schedule,  # noqa: F401
                         linear_warmup_cosine_annealing,
                         cosine_schedule_with_warmup, step_decay,
                         ReduceLROnPlateau)
-from .state import TrainState, create_train_state  # noqa: F401
+from .state import TrainState, create_train_state, freeze_except  # noqa: F401
 from .steps import make_train_step, make_eval_step  # noqa: F401
 from .checkpoint import CheckpointManager  # noqa: F401
 from .trainer import Trainer, TrainerConfig  # noqa: F401

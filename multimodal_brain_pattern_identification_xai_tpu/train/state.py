@@ -57,6 +57,24 @@ def make_optimizer(lr: Any, weight_decay: float = 0.0,
     return tx
 
 
+def freeze_except(tx: optax.GradientTransformation, params: Any,
+                  names_to_train: Any) -> optax.GradientTransformation:
+    """Fine-tuning gate (reference ``freeze_except``,
+    DiffEEG_utils.py:603-606): only parameters whose path contains one of
+    the ``names_to_train`` substrings receive optimizer updates; the rest
+    are frozen (the ``requires_grad`` analogue via ``optax.masked``)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    labels = flax.traverse_util.unflatten_dict(
+        {k: ("train" if any(n in "/".join(k) for n in names_to_train)
+             else "freeze") for k in flat})
+    # NOT optax.masked: masked passes gradients through UNTOUCHED for
+    # masked-out leaves — frozen params must get zero updates
+    return optax.multi_transform({"train": tx,
+                                  "freeze": optax.set_to_zero()}, labels)
+
+
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Override the injected learning rate (for plateau-style host control)."""
     opt_state = state.opt_state

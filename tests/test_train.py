@@ -453,3 +453,38 @@ def test_trainer_epoch_reports_skipped_nonfinite_batches(caplog):
     assert np.isfinite(loss)
     assert any("skipped by the non-finite sentinel" in r.message
                for r in caplog.records)
+
+
+def test_freeze_except_masks_updates():
+    """freeze_except (reference DiffEEG_utils.py:603-606): only params
+    whose path matches a names_to_train substring move; others stay
+    bitwise frozen."""
+    model = models.EEGNet(samples=64, kern_length=8)
+    rng_np = np.random.default_rng(0)
+    x = rng_np.standard_normal((4, 1, 37, 64)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng_np.integers(0, 6, 4)]
+    tx = train.freeze_except(train.state.make_optimizer(1e-2),
+                             model.init(jax.random.PRNGKey(0),
+                                        jnp.asarray(x))["params"],
+                             ["dense"])
+    state = train.create_train_state(model, (jnp.asarray(x),), tx,
+                                     jax.random.PRNGKey(0))
+    step = train.make_train_step()
+    new_state, _ = step(state, {"x": jnp.asarray(x), "y": jnp.asarray(y)},
+                        jax.random.PRNGKey(1))
+    import flax
+    flat_old = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(state.params))
+    flat_new = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(new_state.params))
+    moved = froze = 0
+    for k in flat_old:
+        name = "/".join(k)
+        if "dense" in name:
+            moved += int(not np.array_equal(np.asarray(flat_old[k]),
+                                            np.asarray(flat_new[k])))
+        else:
+            np.testing.assert_array_equal(np.asarray(flat_old[k]),
+                                          np.asarray(flat_new[k]))
+            froze += 1
+    assert moved >= 1 and froze >= 1
