@@ -149,6 +149,37 @@ def plot_spectrogram_pair(raw: np.ndarray, processed: np.ndarray,
     return path
 
 
+def plot_stft_comparison(real_eeg: np.ndarray, generated_eeg: np.ndarray,
+                         save_dir: str, nperseg: int = 64,
+                         noverlap: int = 32,
+                         name: str = "stft_comparison") -> str:
+    """Real-vs-generated log1p-STFT panels for one channel
+    (plot_spectrogram_comparison, DiffEEG_utils.py:479-529).  Inputs:
+    (T,) single-channel EEG traces; the STFT runs through the same
+    on-device op the DiffEEG conditioner uses."""
+    from ..ops.stft import stft as _stft
+    plt = _plt()
+    os.makedirs(save_dir, exist_ok=True)
+
+    def log_spec(sig):
+        _, _, z = _stft(np.asarray(sig, np.float32)[None, None, :],
+                        nperseg=nperseg, noverlap=noverlap)
+        return np.log1p(np.abs(np.asarray(z)))[0, 0]
+
+    fig, (a0, a1) = plt.subplots(1, 2, figsize=(12, 4))
+    a0.imshow(log_spec(real_eeg), aspect="auto", origin="lower",
+              cmap="viridis")
+    a0.set_title("real spectrogram")
+    a1.imshow(log_spec(generated_eeg), aspect="auto", origin="lower",
+              cmap="viridis")
+    a1.set_title("generated spectrogram")
+    fig.tight_layout()
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_saliency_heatmap(saliency: np.ndarray, save_dir: str,
                           name: str = "saliency",
                           channel_names: Optional[Sequence[str]] = None

@@ -139,7 +139,10 @@ def test_plots_render(tmp_path, rng):
                                           [0.5, 0.4, 0.35], str(tmp_path))
     p7 = utils.plot_spectrogram_pair(rng.random((80, 60)),
                                      rng.random((80, 60, 3)), str(tmp_path))
-    for p in (p1, p2, p3, p4, p5, p6, p7):
+    p8 = utils.plot_stft_comparison(rng.standard_normal(400),
+                                    rng.standard_normal(400), str(tmp_path),
+                                    nperseg=32, noverlap=16)
+    for p in (p1, p2, p3, p4, p5, p6, p7, p8):
         assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
