@@ -14,7 +14,8 @@ from .state import TrainState, create_train_state, freeze_except  # noqa: F401
 from .steps import make_train_step, make_eval_step  # noqa: F401
 from .checkpoint import CheckpointManager  # noqa: F401
 from .trainer import Trainer, TrainerConfig  # noqa: F401
-from .cv import group_kfold, stratified_kfold, run_cv  # noqa: F401
+from .cv import (group_kfold, stratified_kfold, run_cv,  # noqa: F401
+                 detect_class_imbalance)
 from .grid_search import parallel_grid_search  # noqa: F401
 from .diffeeg_trainer import DiffEEGTrainer  # noqa: F401
 from .init import initialize_kaiming_weights  # noqa: F401

@@ -85,3 +85,12 @@ def run_cv(make_trainer: Callable[[int], "object"],
         if one_fold_only:
             break
     return oof, scores
+
+
+def detect_class_imbalance(labels: "np.ndarray") -> dict:
+    """Per-class sample counts from soft/one-hot labels (reference
+    ``detect_class_imbalance``, XAI_Multimodality.py:894-903 — a Counter
+    over argmax labels).  Returns ``{class_index: count}``."""
+    idx = np.argmax(np.asarray(labels), axis=-1).ravel()
+    counts = np.bincount(idx, minlength=np.asarray(labels).shape[-1])
+    return {int(c): int(n) for c, n in enumerate(counts)}

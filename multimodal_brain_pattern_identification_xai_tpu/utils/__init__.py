@@ -7,5 +7,5 @@ from .plotting import (plot_training_curves, plot_confusion_matrix,  # noqa: F40
                        plot_class_distribution, plot_real_vs_generated,
                        plot_saliency_heatmap, plot_sample_grid,
                        plot_lr_and_regularization, plot_spectrogram_pair,
-                       plot_stft_comparison)
+                       plot_stft_comparison, model_summary)
 from .profiling import trace, benchmark_fn  # noqa: F401

@@ -202,6 +202,30 @@ def plot_saliency_heatmap(saliency: np.ndarray, save_dir: str,
     return path
 
 
+def model_summary(model, *example_inputs, save_dir: Optional[str] = None,
+                  name: str = "model_summary") -> str:
+    """Layer/param-count summary of a flax module (reference
+    ``summary_multimodal``, XAI_Multimodality.py:1947-1986 — torchsummary
+    rendered to a PNG).  Returns the summary text; with ``save_dir`` also
+    renders it to ``<save_dir>/<name>.png`` like the reference."""
+    import jax
+
+    text = model.tabulate(jax.random.PRNGKey(0), *example_inputs,
+                          depth=2, console_kwargs={"width": 120})
+    if save_dir is not None:
+        plt = _plt()
+        os.makedirs(save_dir, exist_ok=True)
+        n_lines = text.count("\n") + 1
+        fig, ax = plt.subplots(figsize=(14, max(4, 0.18 * n_lines)))
+        ax.text(0.01, 0.99, text, fontsize=7, family="monospace",
+                va="top")
+        ax.axis("off")
+        fig.savefig(os.path.join(save_dir, f"{name}.png"), dpi=120,
+                    bbox_inches="tight")
+        plt.close(fig)
+    return text
+
+
 def plot_sample_grid(images: np.ndarray, save_dir: str,
                      name: str = "samples", ncols: int = 8) -> str:
     """Image-grid dump (reference ``visualize_samples`` for the MNIST

@@ -159,3 +159,22 @@ def test_benchmark_fn():
     import jax.numpy as jnp
     stats = utils.benchmark_fn(lambda: jnp.ones(8).sum(), warmup=1, iters=3)
     assert stats["median_s"] > 0 and stats["iters"] == 3
+
+
+def test_detect_class_imbalance():
+    from multimodal_brain_pattern_identification_xai_tpu import train
+    y = np.eye(6, dtype=np.float32)[[0, 0, 0, 2, 5]]
+    counts = train.detect_class_imbalance(y)
+    assert counts == {0: 3, 1: 0, 2: 1, 3: 0, 4: 0, 5: 1}
+
+
+def test_model_summary_renders(tmp_path):
+    """Model summary text + PNG (reference summary_multimodal,
+    XAI_Multimodality.py:1947-1986)."""
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import models
+    m = models.EEGNet(samples=64, kern_length=8)
+    text = utils.model_summary(m, jnp.zeros((1, 1, 37, 64)),
+                               save_dir=str(tmp_path))
+    assert "EEGNet" in text and "params" in text.lower()
+    assert os.path.getsize(os.path.join(tmp_path, "model_summary.png")) > 0
