@@ -669,7 +669,38 @@ def main() -> None:
     }))
 
 
+def _require_device(timeout_s: float) -> None:
+    """Fail fast with a parseable JSON line when the device backend never
+    comes up (the axon tunnel can go down for hours): jax.devices() then
+    BLOCKS indefinitely, which would otherwise hang the whole benchmark
+    run.  Probe it on a watchdog thread."""
+    import threading
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:                             # noqa: BLE001
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "error" in result:
+        print(json.dumps({
+            "metric": "eeg_windows_per_sec_per_chip",
+            "value": 0.0, "unit": "windows/s", "vs_baseline": 0.0,
+            "error": result.get(
+                "error", f"jax backend init did not return within "
+                         f"{timeout_s:.0f}s — device tunnel down; "
+                         "see BENCH_r02.json for the last measured run"),
+        }))
+        sys.exit(0)
+
+
 if __name__ == "__main__":
+    _require_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 300)))
     if "--gradcam" in sys.argv:
         bench_gradcam()
     elif "--multimodal-effnet" in sys.argv:
