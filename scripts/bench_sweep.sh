@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# One-shot benchmark sweep for a live TPU chip: every bench mode plus the
+# round-3 levers (DiffEEG bf16 AMP, fused accumulation).  Appends one
+# JSON line per run to BENCH_SWEEP.jsonl with the mode/env recorded.
+# Usage: bash scripts/bench_sweep.sh [out_file]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-BENCH_SWEEP.jsonl}"
+
+run() {  # run <label> <env...> -- <args...>
+  local label="$1"; shift
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  echo "== $label" >&2
+  local line
+  line=$(env "${envs[@]}" timeout 1200 python bench.py "$@" 2>/dev/null | tail -1)
+  if [ -n "$line" ]; then
+    printf '{"label": "%s", "result": %s}\n' "$label" "$line" >> "$OUT"
+  else
+    printf '{"label": "%s", "result": {"error": "no output"}}\n' "$label" >> "$OUT"
+  fi
+}
+
+run headline           BENCH_DEVICE_TIMEOUT=120 --
+run headline_B512      BENCH_BATCH=512 --
+run gradcam            BENCH_DEVICE_TIMEOUT=120 -- --gradcam
+run latency            BENCH_DEVICE_TIMEOUT=120 -- --latency
+run multimodal         BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
+run train              BENCH_DEVICE_TIMEOUT=120 -- --train
+run longeeg            BENCH_DEVICE_TIMEOUT=120 -- --longeeg
+run diffusion          BENCH_DEVICE_TIMEOUT=120 -- --diffusion
+run diffeeg_train      BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
+run diffeeg_train_bf16 BENCH_DIFF_BF16=1 -- --diffeeg-train
+run diffeeg_train_bf16_fuse5 BENCH_DIFF_BF16=1 BENCH_FUSE=5 -- --diffeeg-train
+run diffeeg_train_fuse5 BENCH_FUSE=5 -- --diffeeg-train
+
+echo "sweep done -> $OUT" >&2
