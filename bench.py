@@ -688,15 +688,31 @@ def _require_device(timeout_s: float) -> None:
     t.start()
     t.join(timeout_s)
     if t.is_alive() or "error" in result:
+        mode_metric = {
+            "--gradcam": "gradcam_cost_vs_inference",
+            "--multimodal": "multimodal_windows_per_sec_per_chip",
+            "--multimodal-effnet": "multimodal_effnet_windows_per_sec_per_chip",
+            "--train": "multimodal_train_windows_per_sec_per_chip",
+            "--diffusion": "diffeeg_1000step_samples_per_sec_per_chip",
+            "--diffeeg-train": "diffeeg_train_windows_per_sec_per_chip",
+            "--longeeg": "longeeg_rollout_hours_per_sec_per_chip",
+            "--latency": "single_window_stft_effnet_gradcam_latency",
+            "--hostgather": "hostgather_ring_ms_per_batch",
+        }
+        metric = next((m for f, m in mode_metric.items()
+                       if f in sys.argv), "eeg_windows_per_sec_per_chip")
         print(json.dumps({
-            "metric": "eeg_windows_per_sec_per_chip",
-            "value": 0.0, "unit": "windows/s", "vs_baseline": 0.0,
+            "metric": metric,
+            "value": 0.0, "unit": "error", "vs_baseline": 0.0,
             "error": result.get(
                 "error", f"jax backend init did not return within "
                          f"{timeout_s:.0f}s — device tunnel down; "
                          "see BENCH_r02.json for the last measured run"),
-        }))
-        sys.exit(0)
+        }), flush=True)
+        # the probe thread may still be blocked inside PJRT backend init;
+        # normal interpreter finalization can fault when it wakes — leave
+        # without running it
+        os._exit(1)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..train.losses import kldiv_with_logits, l2_regularization
 from ..train.state import TrainState
-from ..train.steps import optax_global_norm
+from ..train.steps import optax_global_norm, skip_nonfinite
 from . import mesh as mesh_lib
 
 
@@ -133,18 +133,14 @@ def make_parallel_train_step(mesh: Mesh, state: TrainState,
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         new_state = state.apply_gradients(grads=grads)
         if nan_sentinel:
-            # keep optimizer state untouched on a skipped step
-            new_state = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o)
-                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
-                else n,
-                new_state, state)
+            # keep optimizer state untouched on a skipped step; the step
+            # counter still advances (the stream position was consumed)
+            new_state = skip_nonfinite(new_state, state, finite).replace(
+                step=state.step + 1)
         if has_bn:
             new_bs = updates["batch_stats"]
             if nan_sentinel:
-                new_bs = jax.tree_util.tree_map(
-                    lambda n, o: jnp.where(finite, n, o),
-                    new_bs, state.batch_stats)
+                new_bs = skip_nonfinite(new_bs, state.batch_stats, finite)
             new_state = new_state.replace(batch_stats=new_bs)
         return new_state, {"loss": loss, "grad_norm": grad_norm,
                            "nonfinite": ~finite}

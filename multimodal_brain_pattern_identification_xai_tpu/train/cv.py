@@ -88,9 +88,14 @@ def run_cv(make_trainer: Callable[[int], "object"],
 
 
 def detect_class_imbalance(labels: "np.ndarray") -> dict:
-    """Per-class sample counts from soft/one-hot labels (reference
-    ``detect_class_imbalance``, XAI_Multimodality.py:894-903 — a Counter
-    over argmax labels).  Returns ``{class_index: count}``."""
-    idx = np.argmax(np.asarray(labels), axis=-1).ravel()
-    counts = np.bincount(idx, minlength=np.asarray(labels).shape[-1])
+    """Per-class sample counts from soft/one-hot (N, C) labels or raw
+    integer class indices (reference ``detect_class_imbalance``,
+    XAI_Multimodality.py:894-903 — a Counter over argmax labels).
+    Returns ``{class_index: count}``."""
+    arr = np.asarray(labels)
+    if arr.ndim == 1:                        # already class indices
+        idx, n_classes = arr.astype(np.int64), int(arr.max()) + 1
+    else:
+        idx, n_classes = np.argmax(arr, axis=-1).ravel(), arr.shape[-1]
+    counts = np.bincount(idx, minlength=n_classes)
     return {int(c): int(n) for c, n in enumerate(counts)}

@@ -152,24 +152,20 @@ class DiffEEGTrainer:
             # a non-finite loss/gradient skips the optimizer AND EMA update
             # so one bad accumulation window can't poison the run — the
             # in-jit analogue of the reference's NaN-abort guards
-            # (DiffEEG_utils.py:152-176)
-            gnorm = jnp.sqrt(sum(jnp.vdot(g, g).real
-                                 for g in jax.tree_util.tree_leaves(grads)))
-            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            # (DiffEEG_utils.py:152-176).  The step counter still advances:
+            # the Python loop consumed K micro-batches either way, and the
+            # resume fast-forward (`start = state.step * K`) plus the
+            # checkpoint labels key off it (bitwise resume-exactness).
+            from .steps import optax_global_norm, skip_nonfinite
+            finite = (jnp.isfinite(loss)
+                      & jnp.isfinite(optax_global_norm(grads)))
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             new_state = state.apply_gradients(grads=grads)
-            new_state = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o)
-                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
-                else n,
-                new_state, state)
+            new_state = skip_nonfinite(new_state, state, finite).replace(
+                step=state.step + 1)
             new_ema = ema_update(ema, new_state.params, new_state.step)
-            new_ema = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o)
-                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
-                else n,
-                new_ema, ema)
+            new_ema = skip_nonfinite(new_ema, ema, finite)
             return new_state, new_ema, loss
 
         if self.mesh is not None:

@@ -77,27 +77,29 @@ def make_train_step(loss_fn: Callable = kldiv_with_logits,
 
         new_state = state.apply_gradients(grads=grads)
         if nan_sentinel:
-            # keep optimizer state untouched on a skipped step
-            new_state = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o)
-                if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
-                else n,
-                new_state, state)
+            # keep optimizer state untouched on a skipped step, but let
+            # the step counter advance — the batch/PRNG stream position
+            # was consumed either way (resume-exactness)
+            new_state = skip_nonfinite(new_state, state, finite).replace(
+                step=state.step + 1)
         if mutable:
             new_bs = updates["batch_stats"]
             if nan_sentinel:
                 # a non-finite loss usually means the activations were bad
                 # too — don't fold the poisoned batch statistics in either
-                new_bs = jax.tree_util.tree_map(
-                    lambda n, o: jnp.where(finite, n, o),
-                    new_bs, state.batch_stats)
+                new_bs = skip_nonfinite(new_bs, state.batch_stats, finite)
             new_state = new_state.replace(batch_stats=new_bs)
-        state = new_state
-        if ema_decay is not None and state.ema_params is not None:
+        if ema_decay is not None and new_state.ema_params is not None:
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-                state.ema_params, state.params)
-            state = state.replace(ema_params=new_ema)
+                new_state.ema_params, new_state.params)
+            if nan_sentinel:
+                # the EMA must not decay toward (even frozen) params on a
+                # skipped step
+                new_ema = skip_nonfinite(new_ema, new_state.ema_params,
+                                         finite)
+            new_state = new_state.replace(ema_params=new_ema)
+        state = new_state
         metrics = {"loss": loss,
                    "grad_norm": grad_norm,
                    "nonfinite": ~finite}
@@ -109,6 +111,19 @@ def make_train_step(loss_fn: Callable = kldiv_with_logits,
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
+
+
+def skip_nonfinite(new, old, finite):
+    """Sentinel revert: ``where(finite, new, old)`` across matching array
+    leaves — ONE implementation of the skip contract shared by the
+    single-device, mesh and DiffEEG step factories.  The step counter is
+    NOT preserved by this helper; callers re-advance it so a skipped step
+    still consumes its slot in the data/PRNG stream (resume-exactness)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(finite, n, o)
+        if isinstance(n, jnp.ndarray) and n.shape == jnp.shape(o)
+        else n,
+        new, old)
 
 
 def make_eval_step(loss_fn: Callable = kldiv_with_logits,

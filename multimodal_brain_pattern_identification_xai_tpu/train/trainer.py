@@ -128,11 +128,13 @@ class Trainer:
         stack = jnp.stack(losses)
         n_skip = int(jnp.stack(skips).sum()) if skips else 0
         if n_skip:
-            # skipped updates left NaN losses behind; report the mean of
-            # the applied steps and surface the event (SURVEY §5.3)
+            # report the mean over the APPLIED steps only — masked by the
+            # sentinel flags themselves (a skipped step can have a finite
+            # loss when only a gradient overflowed) — and surface the
+            # event (SURVEY §5.3)
             logger.warning("epoch %d: %d/%d batches skipped by the "
                            "non-finite sentinel", epoch, n_skip, len(losses))
-            good = jnp.isfinite(stack)
+            good = ~jnp.stack(skips)
             return float(jnp.where(good, stack, 0.0).sum()
                          / jnp.maximum(good.sum(), 1))
         return float(jnp.mean(stack))

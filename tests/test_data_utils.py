@@ -166,6 +166,9 @@ def test_detect_class_imbalance():
     y = np.eye(6, dtype=np.float32)[[0, 0, 0, 2, 5]]
     counts = train.detect_class_imbalance(y)
     assert counts == {0: 3, 1: 0, 2: 1, 3: 0, 4: 0, 5: 1}
+    # raw integer labels work too (no argmax-over-values footgun)
+    assert train.detect_class_imbalance(np.array([0, 1, 2, 5])) == {
+        0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 1}
 
 
 def test_model_summary_renders(tmp_path):

@@ -270,6 +270,9 @@ def test_diffeeg_step_nan_sentinel_skips_update():
         tr.state, tr.ema, jax.random.PRNGKey(1),
         jnp.asarray(bad), jnp.asarray(y))
     assert not np.isfinite(float(loss))
+    # step advances even when skipped: checkpoint labels and the resume
+    # fast-forward (start = step * K) key off it
+    assert int(new_state.step) == int(state0.step) + 1
     for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                     jax.tree_util.tree_leaves(state0.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -329,6 +329,8 @@ def test_parallel_step_nan_sentinel_skips_update(rng):
     sb = parallel.shard_batch(mesh, bad)
     new_state, m = step(state, sb, jax.random.PRNGKey(1))
     assert bool(m["nonfinite"])
+    # the step counter still advances on a skipped step (stream position)
+    assert int(new_state.step) == int(state.step) + 1
     for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

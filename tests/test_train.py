@@ -488,3 +488,32 @@ def test_freeze_except_masks_updates():
                                           np.asarray(flat_new[k]))
             froze += 1
     assert moved >= 1 and froze >= 1
+
+
+def test_train_step_nan_sentinel_freezes_ema_and_advances_step():
+    """Single-device sentinel contract: on a skipped step the EMA params
+    stay bitwise frozen (no decay toward the frozen online params) and the
+    step counter still advances (stream position was consumed)."""
+    model = models.EEGNet(samples=64, kern_length=8)
+    rng_np = np.random.default_rng(0)
+    x = rng_np.standard_normal((4, 1, 37, 64)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng_np.integers(0, 6, 4)]
+    state = train.create_train_state(model, (jnp.asarray(x[:2]),),
+                                     train.state.make_optimizer(1e-3),
+                                     jax.random.PRNGKey(0), with_ema=True)
+    step = train.make_train_step(ema_decay=0.9)
+    # warm the EMA away from the online params with one finite step
+    state, _ = step(state, {"x": jnp.asarray(x), "y": jnp.asarray(y)},
+                    jax.random.PRNGKey(1))
+    bad = x.copy()
+    bad[0, 0, 0, :4] = np.nan
+    new_state, m = step(state, {"x": jnp.asarray(bad),
+                                "y": jnp.asarray(y)}, jax.random.PRNGKey(1))
+    assert bool(m["nonfinite"])
+    assert int(new_state.step) == int(state.step) + 1
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.ema_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
