@@ -841,8 +841,10 @@ def cmd_xai(args) -> int:
     img = np.asarray(spec_in[0]).transpose(1, 2, 0)
     res = xai.lime_explain(predict, img, n_segments=40, num_samples=200,
                            seed=args.seed)
+    xai.plot_lime_overlay(img, res, args.ckpt_dir)
     print(f"LIME top label {res['label']}; "
-          f"{int(res['mask'].sum())} px in top segments")
+          f"{int(res['mask'].sum())} px in top segments "
+          f"(overlay → {args.ckpt_dir}/lime_overlay.png)")
 
     # Grad-CAM on the (trained) spectrogram branch itself
     spec_model = mm.spectrogram_model

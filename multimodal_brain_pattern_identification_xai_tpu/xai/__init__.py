@@ -18,7 +18,8 @@ from .integrated_gradients import integrated_gradients  # noqa: F401
 from .expected_gradients import (expected_gradients,  # noqa: F401
                                  gradient_shap_values)
 from .gradcam import grad_cam  # noqa: F401
-from .lime import slic_segments, lime_explain  # noqa: F401
+from .lime import (slic_segments, lime_explain, mark_boundaries,  # noqa: F401
+                   plot_lime_overlay)
 from .rollout import attention_rollout  # noqa: F401
 from .channel_select import (get_top_n_channels,  # noqa: F401
                              restructure_to_top_channels,

@@ -133,3 +133,57 @@ def lime_explain(predict_fn: Callable[[np.ndarray], np.ndarray],
     sel = np.isin(segments, pos)
     return {"segments": segments, "label": top_label, "weights": coef,
             "heatmap": heat, "mask": sel}
+
+
+def mark_boundaries(image: np.ndarray, segments: np.ndarray,
+                    color: Tuple[float, float, float] = (1.0, 1.0, 0.0)
+                    ) -> np.ndarray:
+    """Native skimage.segmentation.mark_boundaries equivalent: paint
+    superpixel boundary pixels (4-neighbour label changes) onto an RGB
+    copy of ``image`` (reference overlay, XAI_Multimodality.py:2784)."""
+    img = np.asarray(image, np.float64)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    elif img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    out = img.copy()
+    seg = np.asarray(segments)
+    edge = np.zeros(seg.shape, bool)
+    edge[:-1, :] |= seg[:-1, :] != seg[1:, :]
+    edge[:, :-1] |= seg[:, :-1] != seg[:, 1:]
+    out[edge] = color
+    return out
+
+
+def plot_lime_overlay(image: np.ndarray, explanation: Dict, save_dir: str,
+                      name: str = "lime_overlay") -> str:
+    """Render the LIME explanation like the reference's
+    ``get_image_and_mask`` + ``mark_boundaries`` + ``plot_segments``
+    cells (XAI_Multimodality.py:2737-2794): the superpixel grid, the
+    top-positive-segment mask, and the boundary overlay side-by-side."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_dir, exist_ok=True)
+    img = np.asarray(image, np.float64)
+    base = img.mean(-1) if img.ndim == 3 else img
+    lo, hi = float(base.min()), float(base.max())
+    norm = (base - lo) / (hi - lo + 1e-12)
+    seg = explanation["segments"]
+    masked = np.where(explanation["mask"], norm, 0.3 * norm)
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    axes[0].imshow(mark_boundaries(norm, seg))
+    axes[0].set_title(f"superpixels ({seg.max() + 1})")
+    axes[1].imshow(explanation["heatmap"], cmap="bwr")
+    axes[1].set_title(f"LIME weights (label {explanation['label']})")
+    axes[2].imshow(mark_boundaries(masked, seg))
+    axes[2].set_title("top positive segments")
+    for ax in axes:
+        ax.axis("off")
+    path = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -279,3 +279,22 @@ def test_expected_gradients_match_torch(imported_eegnet, rng):
     want = (acc / nsamples).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-6)
     assert np.abs(want).max() > 0
+
+
+def test_lime_overlay_renders(tmp_path, rng):
+    """Boundary overlay rendering (reference mark_boundaries +
+    plot_segments cells, XAI_Multimodality.py:2737-2794)."""
+    img = rng.random((40, 30, 3)).astype(np.float32)
+    seg = xai.slic_segments(img, n_segments=9)
+    # mark_boundaries paints edge pixels with the given color
+    marked = xai.mark_boundaries(img.mean(-1), seg)
+    assert marked.shape == (40, 30, 3)
+    edge_px = (marked == np.array([1.0, 1.0, 0.0])).all(-1).sum()
+    assert edge_px > 0
+    exp = {"segments": seg, "label": 3,
+           "weights": rng.standard_normal(seg.max() + 1),
+           "heatmap": rng.standard_normal((40, 30)),
+           "mask": seg % 2 == 0}
+    import os
+    p = xai.plot_lime_overlay(img, exp, str(tmp_path))
+    assert os.path.getsize(p) > 0
