@@ -36,6 +36,7 @@ from ..models.diffeeg import (DiffEEG, make_cached_denoiser,
 from ..ops import stft_log1p_interp
 from .checkpoint import CheckpointManager
 from .state import TrainState
+from .steps import optax_global_norm, skip_nonfinite
 
 logger = logging.getLogger(__name__)
 
@@ -156,7 +157,6 @@ class DiffEEGTrainer:
             # the Python loop consumed K micro-batches either way, and the
             # resume fast-forward (`start = state.step * K`) plus the
             # checkpoint labels key off it (bitwise resume-exactness).
-            from .steps import optax_global_norm, skip_nonfinite
             finite = (jnp.isfinite(loss)
                       & jnp.isfinite(optax_global_norm(grads)))
             grads = jax.tree_util.tree_map(

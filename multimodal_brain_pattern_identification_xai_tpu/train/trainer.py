@@ -126,7 +126,8 @@ class Trainer:
                 "training-split size, and drop_last discards the short "
                 "tail batch")
         stack = jnp.stack(losses)
-        n_skip = int(jnp.stack(skips).sum()) if skips else 0
+        skipped = jnp.stack(skips) if skips else None
+        n_skip = int(skipped.sum()) if skipped is not None else 0
         if n_skip:
             # report the mean over the APPLIED steps only — masked by the
             # sentinel flags themselves (a skipped step can have a finite
@@ -134,7 +135,7 @@ class Trainer:
             # event (SURVEY §5.3)
             logger.warning("epoch %d: %d/%d batches skipped by the "
                            "non-finite sentinel", epoch, n_skip, len(losses))
-            good = ~jnp.stack(skips)
+            good = ~skipped
             return float(jnp.where(good, stack, 0.0).sum()
                          / jnp.maximum(good.sum(), 1))
         return float(jnp.mean(stack))

@@ -163,9 +163,8 @@ def plot_lime_overlay(image: np.ndarray, explanation: Dict, save_dir: str,
     top-positive-segment mask, and the boundary overlay side-by-side."""
     import os
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    from .shap_plots import _plt
+    plt = _plt()
 
     os.makedirs(save_dir, exist_ok=True)
     img = np.asarray(image, np.float64)
