@@ -181,3 +181,48 @@ def test_model_summary_renders(tmp_path):
                                save_dir=str(tmp_path))
     assert "EEGNet" in text and "params" in text.lower()
     assert os.path.getsize(os.path.join(tmp_path, "model_summary.png")) > 0
+
+
+def test_wandb_logger_with_stub_module(monkeypatch, tmp_path):
+    """The wandb-present branch builds Table/plot.line from the wandb
+    MODULE (a Run object has neither attribute) — pinned with a stub
+    module so the path is exercised without the real wandb."""
+    import sys
+    import types
+
+    calls = {"logged": [], "tables": [], "lines": []}
+    stub = types.ModuleType("wandb")
+
+    class _Run:
+        def log(self, rec):
+            calls["logged"].append(rec)
+
+        def finish(self):
+            calls["finished"] = True
+
+    def _table(data=None, columns=None):
+        calls["tables"].append((data, columns))
+        return ("table", tuple(columns))
+
+    def _line(table, x, y, title=None):
+        calls["lines"].append((table, x, y, title))
+        return ("line", y)
+
+    stub.init = lambda **kw: _Run()
+    stub.Table = _table
+    stub.plot = types.SimpleNamespace(line=_line)
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    lg = utils.WandbLogger("proj", "exp2", log_dir=str(tmp_path))
+    lg.log_loss(0.5, 1)
+    lg.plot_loss([1.0, 0.5], label="loss")
+    lg.plot_metrics({"f1": [0.1, 0.2]})
+    lg.save_model("ckpt/x")
+    lg.finish()
+    assert calls["finished"]
+    assert ("table", ("step", "loss")) in [t for t, _, _, _ in calls["lines"]]
+    assert {"plots/loss": ("line", "loss")} in calls["logged"]
+    assert {"plots/f1": ("line", "f1")} in calls["logged"]
+    assert {"checkpoint": "ckpt/x"} in calls["logged"]
+    # no JSONL fallback file was created for this logger
+    assert not [f for f in os.listdir(tmp_path) if "exp2" in f]
