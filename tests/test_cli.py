@@ -113,3 +113,13 @@ def test_cli_sanity_check(tmp_path):
               "--ckpt-dir", str(tmp_path)], tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert any(f.startswith("sanity_recon") for f in os.listdir(tmp_path))
+
+
+@pytest.mark.slow
+def test_cli_long_eeg_demo(tmp_path):
+    """CLI surface for BASELINE config #4: sequence-parallel long-EEG
+    encoder + rollout over the virtual mesh, heatmap written."""
+    r = _run(["long-eeg", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(os.path.join(
+        str(tmp_path), "long_eeg_rollout.png")) > 0

@@ -451,3 +451,25 @@ def test_multimodal_gather_matches_reference_assembly(hms_tree, tmp_path):
         ref = data.crop_spectrogram(
             raw, None if np.isnan(off) else float(off))
         np.testing.assert_array_equal(batch["spec"][i], ref)
+
+
+def test_cli_cache_build_and_convert_spectrograms(hms_tree, tmp_path):
+    """CLI surfaces for the data-preparation sweeps: cache-build builds the
+    EEG window cache (main.py:84-98); convert-spectrograms writes one
+    (Freq, Time) .npy per spectrogram parquet (main3.py:79-94)."""
+    ck = str(tmp_path / "ck")
+    rc = main(["cache-build", "--set", f"paths.data_root={hms_tree}",
+               "--ckpt-dir", ck])
+    assert rc == 0
+    cache = data.EEGRecordCache.load(os.path.join(ck, "eeg_cache.npz"))
+    assert len(cache) == 8
+
+    out = str(tmp_path / "npy")
+    rc = main(["convert-spectrograms", "--set",
+               f"paths.data_root={hms_tree}", "--ckpt-dir", out])
+    assert rc == 0
+    files = [f for f in os.listdir(os.path.join(out, "spectrograms_npy"))
+             if f.endswith(".npy")]
+    assert files
+    arr = np.load(os.path.join(out, "spectrograms_npy", files[0]))
+    assert arr.ndim == 2 and np.isfinite(arr).all()
