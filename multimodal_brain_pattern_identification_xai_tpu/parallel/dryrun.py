@@ -12,7 +12,7 @@ and the template for pod-scale training: a (data, model, seq) mesh where
 Differentiation happens OUTSIDE the shard_map with replication checking
 ON: shard_map's varying-axes machinery then inserts the pbroadcast/psum
 corrections that make cotangents of replicated parameters exact.  (Taking
-``jax.grad`` *inside* with ``check_rep=False`` leaves per-leaf replication
+``jax.grad`` *inside* with ``check_vma=False`` leaves per-leaf replication
 factors — psum's transpose is psum — that are easy to get subtly wrong;
 tests/test_aux_components.py pins exact equality against the single-device
 step.)
@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .seqparallel import LongEEGEncoder
 from . import tp

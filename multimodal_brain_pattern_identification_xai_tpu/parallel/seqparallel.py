@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +217,7 @@ def long_eeg_forward(encoder: LongEEGEncoder, params, x: jnp.ndarray,
         mesh=mesh,
         in_specs=(P(), P(None, None, "seq")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, x)
 
@@ -234,7 +234,7 @@ def long_eeg_rollout(encoder: LongEEGEncoder, params, x: jnp.ndarray,
         in_specs=(P(), P(None, None, "seq")),
         # attention weights: (depth, B, H, L_local, L) — queries sharded
         out_specs=(P(), P(None, None, None, "seq", None)),
-        check_rep=False,
+        check_vma=False,
     )
     logits, attn = fn(params, x)
     from ..xai.rollout import attention_rollout

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..train.losses import kldiv_with_logits, l2_regularization
 from ..train.state import TrainState
@@ -122,7 +122,7 @@ def make_parallel_train_step(mesh: Mesh, state: TrainState,
             local_grads, mesh=mesh,
             in_specs=(P(), P(), specs, P(), P()),
             out_specs=(P(), P(), P()),
-            check_rep=False)
+            check_vma=False)
         bs = state.batch_stats if has_bn else {}
         loss, grads, updates = fn(state.params, bs, batch,
                                   rng, jnp.asarray(state.step))

@@ -170,14 +170,14 @@ class DiffEEGTrainer:
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             # micro-batches arrive stacked (K, B, ...): shard B (axis 1)
             # over `data`; state/EMA/key replicate
             return jax.jit(shard_map(
                 train_step, mesh=self.mesh,
                 in_specs=(P(), P(), P(), P(None, "data"), P(None, "data")),
                 out_specs=(P(), P(), P()),
-                check_rep=False))
+                check_vma=False))
         return jax.jit(train_step)
 
     # ------------------------------------------------------------------

@@ -186,7 +186,7 @@ def test_diffeeg_trainer_mesh_matches_single_device(rng):
 
 def test_tp_mlp_matches_dense(rng):
     import functools
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     mesh = parallel.make_mesh(C.MeshConfig(data=1, model=8, seq=1))
     x = jnp.asarray(rng.standard_normal((4, 12)), jnp.float32)
     k1 = jnp.asarray(rng.standard_normal((12, 128)) * 0.1, jnp.float32)
@@ -200,7 +200,7 @@ def test_tp_mlp_matches_dense(rng):
         functools.partial(tp.tp_mlp, axis_name="model"),
         mesh=mesh,
         in_specs=(P(), P(None, "model"), P("model"), P("model", None), P()),
-        out_specs=P(), check_rep=False)
+        out_specs=P(), check_vma=False)
     got = fn(x, k1, b1, k2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
@@ -221,7 +221,7 @@ def test_tp_params_actually_sharded(rng):
 
 
 def test_halo_conv_matches_global(rng):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     import functools
     mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
     x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
@@ -233,7 +233,7 @@ def test_halo_conv_matches_global(rng):
     fn = shard_map(
         functools.partial(parallel.halo_conv1d, axis_name="seq"),
         mesh=mesh, in_specs=(P(None, "seq", None), P()), out_specs=P(None, "seq", None),
-        check_rep=False)
+        check_vma=False)
     got = fn(x, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
@@ -254,7 +254,7 @@ def test_long_eeg_seq_parallel_matches_local(rng):
 
 
 def test_seq_parallel_attention_exact(rng):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     import functools
     mesh = parallel.make_mesh(C.MeshConfig(data=1, model=1, seq=8))
     q = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
@@ -266,7 +266,7 @@ def test_seq_parallel_attention_exact(rng):
                           axis_name="seq"),
         mesh=mesh,
         in_specs=(P(None, "seq", None),) * 3,
-        out_specs=P(None, "seq", None), check_rep=False)
+        out_specs=P(None, "seq", None), check_vma=False)
     got = fn(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
@@ -345,3 +345,69 @@ def test_parallel_step_nan_sentinel_skips_update(rng):
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                                jax.tree_util.tree_leaves(state.params)))
+
+
+# ---------------------------------------------------------------------------
+# __graft_entry__ driver hardening: the multichip dryrun must NEVER hang on
+# a dead device tunnel (MULTICHIP_r03 rc=124).  jax.devices() blocks forever
+# when the backend transport is down, so the entry probes it on a watchdog
+# thread and fails over to the CPU-subprocess path.
+# ---------------------------------------------------------------------------
+
+def _load_graft_entry():
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("_graft_entry_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_probe_device_count_times_out_on_hung_backend(monkeypatch):
+    """When jax.devices() blocks (tunnel down), the watchdog probe must
+    return -1 within its timeout instead of hanging the driver."""
+    import time
+    ge = _load_graft_entry()
+
+    def hang():
+        time.sleep(3600)
+
+    monkeypatch.setattr(jax, "devices", hang)
+    t0 = time.perf_counter()
+    assert ge._probe_device_count(timeout_s=0.5) == -1
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_dryrun_fails_over_to_subprocess_on_hung_probe(monkeypatch):
+    """dryrun_multichip must take the CPU-subprocess path when the backend
+    probe times out — the subprocess needs zero TPU hardware."""
+    import time
+    ge = _load_graft_entry()
+
+    def hang():
+        time.sleep(3600)
+
+    monkeypatch.setattr(jax, "devices", hang)
+    monkeypatch.setenv("DRYRUN_DEVICE_TIMEOUT", "0.5")
+    calls = []
+    monkeypatch.setattr(ge, "_dryrun_subprocess", calls.append)
+    ge.dryrun_multichip(8)
+    assert calls == [8]
+
+
+@pytest.mark.slow
+def test_dryrun_subprocess_completes_with_hung_backend(monkeypatch, capsys):
+    """End-to-end: hung backend probe → real CPU subprocess runs the full
+    DP×TP×SP payload to completion (the MULTICHIP artifact contract)."""
+    import time
+    ge = _load_graft_entry()
+
+    def hang():
+        time.sleep(3600)
+
+    monkeypatch.setattr(jax, "devices", hang)
+    monkeypatch.setenv("DRYRUN_DEVICE_TIMEOUT", "0.5")
+    ge.dryrun_multichip(2)
+    assert "dryrun_multichip OK" in capsys.readouterr().out
