@@ -369,3 +369,24 @@ def test_dump_config_roundtrip(tmp_path, capsys):
     shipped = os.path.join(os.path.dirname(__file__), "..", "configs",
                            "default.yml")
     assert C.load_config(shipped) == C.load_config(None)
+
+
+def test_bench_watchdog_emits_machine_comparable_error_json():
+    """With an impossible device timeout, bench.py must exit rc=1 within
+    ~1 min and print a parseable error JSON carrying the structured
+    ``last_good`` record (value/unit/round/source) so BENCH_r{N}.json stays
+    machine-comparable across rounds even when the tunnel is down."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["BENCH_DEVICE_TIMEOUT"] = "0.0001"   # cannot win: jax import >> this
+    proc = subprocess.run([sys.executable, "bench.py"], cwd=repo, env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 1
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["unit"] == "error" and "error" in out
+    lg = out["last_good"]
+    assert lg["value"] > 0 and "unit" in lg and "round" in lg
+    assert "source" in lg
