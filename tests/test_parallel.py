@@ -411,3 +411,56 @@ def test_dryrun_subprocess_completes_with_hung_backend(monkeypatch, capsys):
     monkeypatch.setenv("DRYRUN_DEVICE_TIMEOUT", "0.5")
     ge.dryrun_multichip(2)
     assert "dryrun_multichip OK" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_initialize_multihost_two_process_step_matches_single():
+    """REAL jax.distributed.initialize across two OS processes (2 local CPU
+    devices each, 4 global) — the pod-scale entry point parallel/hosts.py
+    wraps.  A cross-process psum and one DP train step must match a
+    single-process 4-device run of identical state/batch bit-for-bit(ish).
+    The dist.init_process_group analogue (training_distributed.py:24-27)."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    payload = os.path.join(repo, "tests", "_multihost_payload.py")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        coord = f"localhost:{s.getsockname()[1]}"
+
+    def env_with(n_local):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_local}")
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        return env
+
+    procs = [subprocess.Popen(
+        [sys.executable, payload, "multi", coord, "2", str(i)],
+        cwd=repo, env=env_with(2), stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{err[-2000:]}"
+    multi = [_json.loads(out.splitlines()[-1]) for out, _ in outs]
+    # both ranks observe the same replicated results
+    assert multi[0] == multi[1]
+    assert multi[0]["psum"] == 6.0
+
+    single_p = subprocess.run(
+        [sys.executable, payload, "single"], cwd=repo, env=env_with(4),
+        capture_output=True, text=True, timeout=420)
+    assert single_p.returncode == 0, single_p.stderr[-2000:]
+    single = _json.loads(single_p.stdout.splitlines()[-1])
+    assert single["psum"] == 6.0
+    np.testing.assert_allclose(multi[0]["loss"], single["loss"], rtol=1e-6)
+    # the 2×2 vs 1×4 topologies reduce pmean in different orders; f32
+    # accumulation over ~300k |param| terms wobbles at the ~3e-6 level
+    np.testing.assert_allclose(multi[0]["checksum"], single["checksum"],
+                               rtol=1e-5)
