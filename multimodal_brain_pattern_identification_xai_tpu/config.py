@@ -88,6 +88,15 @@ class SignalConfig:
     in_channels: int = 19             # scalp channels (no EKG)
     n_raw_channels: int = 20          # parquet columns incl. EKG
     image_size: Tuple[int, int] = (400, 300)  # spectrogram (F, T)
+    #: how the spectrogram chain reaches ``image_size``: "pad" reproduces
+    #: the reference bit-for-bit (zero-pad/crop FIRST, data_utils.py:163-181,
+    #: which makes its final anti-aliased resize a same-shape identity —
+    #: XAI_Multimodality.py:1182-1189); "resample" instead smoothly
+    #: anti-alias-resizes the raw plane to ``image_size``
+    #: (ops.resample.resize_antialiased, skimage resize(...,
+    #: anti_aliasing=True) semantics) — the sane choice when setting a
+    #: non-native target size.
+    resize_mode: str = "pad"
 
 
 @dataclass(frozen=True)

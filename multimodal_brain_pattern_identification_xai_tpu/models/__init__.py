@@ -12,7 +12,7 @@ from .eegnet import (EEGNet, EEGNetAttentionDeep,  # noqa: F401
                      EEGNetAttentionRegularized, EEGNetResidual,
                      EEGNetResidualLSTM, EEGNetTransformer,
                      EEGSeizureDetectionModel)
-from .efficientnet import EfficientNetB0  # noqa: F401
+from .efficientnet import EfficientNetB0, EfficientNetV2B2  # noqa: F401
 from .fusion import MultimodalModel  # noqa: F401
 from .speccnn import SpectrogramCNN  # noqa: F401
 from .vit import SpectrogramViT  # noqa: F401
@@ -36,6 +36,8 @@ REGISTRY: Dict[str, Callable[..., Any]] = {
     "spectrogram_cnn": SpectrogramCNN,
     "spectrogram_vit": SpectrogramViT,
     "efficientnet_b0": EfficientNetB0,
+    # the reference CFG's named preset (main3.py:40)
+    "efficientnetv2_b2": EfficientNetV2B2,
     "diffeeg": DiffEEG,
 }
 

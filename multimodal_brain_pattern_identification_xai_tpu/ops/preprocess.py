@@ -156,10 +156,20 @@ def hms_spectrogram_preprocess(spec: jnp.ndarray,
     spectrogram (cropping happens host-side in the loader since it is pure
     indexing).  Returns (..., 3, 400, 300) float32.
 
-    Chain: NaN repair → baseline correction (column-mean subtract) → 60 Hz
-    notch ``filtfilt`` down the time axis → Gaussian σ=1 smooth → min-max →
-    (anti-aliased identity resize is a no-op at the target size, elided) →
-    tile to 3 channels.
+    Chain: reach ``image_size`` (see below) → NaN repair → baseline
+    correction (column-mean subtract) → 60 Hz notch ``filtfilt`` down the
+    time axis → Gaussian σ=1 smooth → min-max → final anti-aliased resize
+    (a same-shape identity here, as in the reference, elided) → tile to 3
+    channels.
+
+    ``signal.resize_mode`` picks how the plane reaches ``image_size``:
+    ``"pad"`` (default) zero-pads/crops exactly like the reference
+    (data_utils.py:163-181 — its live chains then feed the pre-padded plane
+    to ``resample_spectrogram``, making that final anti-aliased resize a
+    same-shape identity, XAI_Multimodality.py:1182-1189); ``"resample"``
+    smoothly anti-alias-resizes instead
+    (:func:`..ops.resample.resize_antialiased`, skimage semantics) — the
+    sensible behavior when configuring a non-native ``image_size``.
 
     ``serving_dtype=jnp.bfloat16``: serving/benchmark fast path — the chain
     after NaN repair and baseline correction runs in bf16, halving the HBM
@@ -167,7 +177,14 @@ def hms_spectrogram_preprocess(spec: jnp.ndarray,
     spectrogram CNN (whose own bf16 deviation is the larger term); the
     training/XAI path stays f32.
     """
-    x = resample.pad_or_truncate(spec, tuple(signal.image_size))
+    if signal.resize_mode == "resample":
+        x = resample.resize_antialiased(spec, tuple(signal.image_size))
+    elif signal.resize_mode == "pad":
+        x = resample.pad_or_truncate(spec, tuple(signal.image_size))
+    else:
+        raise ValueError(
+            f"signal.resize_mode must be 'pad' or 'resample', "
+            f"got {signal.resize_mode!r}")
     x = nanfix.nan_to_channel_mean(x, axis=-1)
     x = normalize.baseline_correction(x, axis=-2)
     if serving_dtype is not None:

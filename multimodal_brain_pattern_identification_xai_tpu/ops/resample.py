@@ -76,6 +76,75 @@ def rolling_mean4_decimate_flat(x: jnp.ndarray, stride: int = 4) -> jnp.ndarray:
     return y
 
 
+def _mirror_index(i: np.ndarray, n: int) -> np.ndarray:
+    """ndimage 'mirror' boundary (skimage mode='reflect'): reflect about the
+    edge pixel centers without repeating them — period 2n-2."""
+    if n == 1:
+        return np.zeros_like(i)
+    period = 2 * n - 2
+    i = np.abs(i) % period
+    return np.where(i >= n, period - i, i)
+
+
+def _resize_matrix_1d(n_in: int, n_out: int) -> np.ndarray:
+    """The (n_out, n_in) linear operator of skimage
+    ``resize(..., order=1, mode='reflect', anti_aliasing=True)`` along one
+    axis (data_utils.py:147-148): a scipy-exact Gaussian anti-alias
+    prefilter (sigma = max(0, (n_in/n_out - 1)/2), truncate 4.0, mirror
+    boundary) composed with linear interpolation at half-pixel centers.
+
+    Both stages are convex combinations, so skimage's default output
+    clipping to the input range is a provable no-op and is elided.
+    Precomputed host-side: on device the 2-D resize is then just two
+    matmuls (MXU work, no gathers)."""
+    factor = n_in / n_out
+    # -- linear interpolation at half-pixel centers (align_corners=False) --
+    coords = (np.arange(n_out) + 0.5) * factor - 0.5
+    i0 = np.floor(coords).astype(np.int64)
+    w = coords - i0
+    A = np.zeros((n_out, n_in), np.float64)
+    rows = np.arange(n_out)
+    np.add.at(A, (rows, _mirror_index(i0, n_in)), 1.0 - w)
+    np.add.at(A, (rows, _mirror_index(i0 + 1, n_in)), w)
+    # -- Gaussian prefilter (downscale only), scipy gaussian_filter1d exact --
+    sigma = max(0.0, (factor - 1.0) / 2.0)
+    if sigma > 0:
+        r = int(4.0 * sigma + 0.5)
+        t = np.arange(-r, r + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (t / sigma) ** 2)
+        k /= k.sum()
+        G = np.zeros((n_in, n_in), np.float64)
+        rows_in = np.arange(n_in)
+        for off, kv in zip(range(-r, r + 1), k):
+            np.add.at(G, (rows_in, _mirror_index(rows_in + off, n_in)), kv)
+        A = A @ G
+    return A
+
+
+def resize_antialiased(x: jnp.ndarray,
+                       target: Tuple[int, int]) -> jnp.ndarray:
+    """Anti-aliased bilinear resize of the last two axes — the TPU-native
+    ``resample_spectrogram`` (data_utils.py:147-148: skimage
+    ``resize(sig, target, mode='reflect', anti_aliasing=True)``).
+
+    Instead of a gather-based warp, the separable prefilter+interpolation
+    operator per axis is materialized host-side (static shapes under jit)
+    and applied as two dense matmuls — MXU-friendly, and exactly the
+    reference semantics (pinned vs a float64 direct reimplementation in
+    tests).  Same-shape calls return ``x`` unchanged, which is the only
+    case the reference's live chains ever hit (they pad/crop to
+    ``image_size`` first, XAI_Multimodality.py:1182-1189).
+    """
+    rows, cols = int(target[0]), int(target[1])
+    R, Ccur = x.shape[-2], x.shape[-1]
+    if (R, Ccur) == (rows, cols):
+        return x
+    Mh = jnp.asarray(_resize_matrix_1d(R, rows), x.dtype)
+    Mw = jnp.asarray(_resize_matrix_1d(Ccur, cols), x.dtype)
+    return jnp.einsum("oi,...ij,pj->...op", Mh, x, Mw,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def pad_or_truncate(x: jnp.ndarray,
                     target: Union[int, Tuple[int, int]]) -> jnp.ndarray:
     """Zero-pad or truncate to a fixed length / 2-D shape

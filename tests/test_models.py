@@ -27,6 +27,7 @@ EEG_MODELS = [
 SPEC_MODELS = [
     ("spectrogram_cnn", {}),
     ("efficientnet_b0", {}),
+    ("efficientnetv2_b2", {}),
     ("spectrogram_vit", {"image_size": (64, 48), "dim": 64, "depth": 2,
                          "n_heads": 4, "mlp_dim": 128}),
 ]
@@ -182,3 +183,31 @@ def test_spectrogram_cnn_bf16_mode_close_to_f32(rng):
     p16 = np.exp(np.asarray(m16.apply(v, x)))
     assert p16.dtype == np.float32
     np.testing.assert_allclose(p16, p32, atol=2e-2)
+
+
+def test_efficientnetv2_b2_topology():
+    """Pin the V2-B2 scaling (width 1.1 / depth 1.2 over the V2 base):
+    stage widths 16/32/56/104/120/208, repeats 2/3/3/4/6/10, head 1408 —
+    the timm/keras efficientnetv2_b2 shape — and the fused/mb block split
+    (fused convs in the first three high-resolution stages)."""
+    import jax
+    model = models.build("efficientnetv2_b2")
+    x = jnp.zeros((1, 3, 64, 48), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    assert params["head_conv"]["kernel"].shape[-1] == 1408
+    from multimodal_brain_pattern_identification_xai_tpu.models import (
+        efficientnet)
+    for si, (blk, e, c, r, s, k) in enumerate(efficientnet.V2_B2_STAGES):
+        blocks = [n for n in params if n.startswith(f"stage{si}_block")]
+        assert len(blocks) == r, (si, blocks)
+        first = params[f"stage{si}_block0"]
+        if blk == "fused":
+            assert "fused_conv" in first and "depthwise_conv" not in first
+        else:
+            assert "depthwise_conv" in first and "se" in first
+    n_params = sum(np.prod(l.shape) for l in
+                   jax.tree_util.tree_leaves(params))
+    # timm efficientnetv2_b2 is 10.10M with a 1000-class head
+    # (1408*1000+1000 = 1.409M); a 6-class head leaves ~8.70M ± rounding
+    assert 8.4e6 < n_params < 9.1e6, n_params

@@ -6,6 +6,7 @@ import pytest
 import numpy as np
 import scipy.ndimage
 import scipy.signal as sps
+import jax.numpy as jnp
 
 import multimodal_brain_pattern_identification_xai_tpu.config as C
 from multimodal_brain_pattern_identification_xai_tpu import ops
@@ -131,3 +132,84 @@ def test_assume_finite_fast_path_matches_reference_chain(rng):
     a = np.asarray(ops.hms_eeg_preprocess(jnp.asarray(x)))
     b = np.asarray(ops.hms_eeg_preprocess(jnp.asarray(x), assume_finite=True))
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)  # z-scored units
+
+
+# ---------------------------------------------------------------------------
+# Anti-aliased resize (reference resample_spectrogram, data_utils.py:147-148)
+# ---------------------------------------------------------------------------
+
+def _golden_skimage_resize(x, target):
+    """Float64 direct reimplementation of skimage.transform.resize(
+    target, mode='reflect', anti_aliasing=True, order=1) via the
+    scipy.ndimage machinery skimage itself wraps (skimage is not installed
+    in this image; the pin is vs these reimplemented semantics): Gaussian
+    prefilter sigma=max(0,(factor-1)/2) mode='mirror' (skimage 'reflect' ->
+    ndi 'mirror'), then order-1 map_coordinates at half-pixel centers."""
+    x = np.asarray(x, np.float64)
+    factors = [n_in / n_out for n_in, n_out in zip(x.shape, target)]
+    sigma = [max(0.0, (f - 1.0) / 2.0) for f in factors]
+    if any(s > 0 for s in sigma):
+        x = scipy.ndimage.gaussian_filter(x, sigma, mode="mirror")
+    grids = [(np.arange(n) + 0.5) * f - 0.5
+             for n, f in zip(target, factors)]
+    coords = np.meshgrid(*grids, indexing="ij")
+    return scipy.ndimage.map_coordinates(x, coords, order=1, mode="mirror")
+
+
+@pytest.mark.parametrize("shape,target", [
+    ((400, 300), (100, 75)),     # pure downscale (anti-alias active)
+    ((50, 40), (80, 64)),        # pure upscale (no prefilter)
+    ((100, 80), (50, 160)),      # mixed down/up
+    ((7, 300), (13, 300)),       # odd sizes, one axis identity
+])
+def test_resize_antialiased_matches_skimage_semantics(rng, shape, target):
+    from multimodal_brain_pattern_identification_xai_tpu.ops import resample
+    x = rng.standard_normal(shape).astype(np.float32) * 10
+    got = np.asarray(resample.resize_antialiased(jnp.asarray(x), target))
+    want = _golden_skimage_resize(x, target)
+    assert got.shape == tuple(target)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_resize_antialiased_same_shape_is_identity(rng):
+    from multimodal_brain_pattern_identification_xai_tpu.ops import resample
+    x = jnp.asarray(rng.standard_normal((32, 24)), jnp.float32)
+    assert resample.resize_antialiased(x, (32, 24)) is x
+
+
+def test_resize_antialiased_batched(rng):
+    from multimodal_brain_pattern_identification_xai_tpu.ops import resample
+    x = rng.standard_normal((2, 3, 60, 50)).astype(np.float32)
+    got = np.asarray(resample.resize_antialiased(jnp.asarray(x), (30, 25)))
+    assert got.shape == (2, 3, 30, 25)
+    for b in range(2):
+        for c in range(3):
+            np.testing.assert_allclose(
+                got[b, c], _golden_skimage_resize(x[b, c], (30, 25)),
+                rtol=2e-5, atol=2e-5)
+
+
+def test_spectrogram_chain_resample_mode_end_to_end(rng):
+    """Non-default image_size with resize_mode='resample': the raw plane is
+    smoothly resized instead of zero-padded/cropped; chain completes with
+    the right shape and [0,1] min-max range."""
+    spec = rng.standard_normal((2, 400, 300)).astype(np.float32) * 5
+    sig = C.SignalConfig(image_size=(128, 96), resize_mode="resample")
+    out = np.asarray(ops.hms_spectrogram_preprocess(jnp.asarray(spec),
+                                                    signal=sig))
+    assert out.shape == (2, 3, 128, 96)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    # and differs from pad/crop semantics on the same target
+    sig_pad = C.SignalConfig(image_size=(128, 96), resize_mode="pad")
+    out_pad = np.asarray(ops.hms_spectrogram_preprocess(jnp.asarray(spec),
+                                                        signal=sig_pad))
+    assert not np.allclose(out, out_pad)
+
+
+def test_spectrogram_chain_rejects_bad_resize_mode(rng):
+    spec = jnp.asarray(rng.standard_normal((1, 40, 30)), jnp.float32)
+    with pytest.raises(ValueError, match="resize_mode"):
+        ops.hms_spectrogram_preprocess(
+            spec, signal=C.SignalConfig(image_size=(40, 30),
+                                        resize_mode="bogus"))
