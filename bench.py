@@ -615,6 +615,175 @@ def bench_hostgather() -> None:
     }))
 
 
+def bench_convprobe() -> None:
+    """Decide the spec-CNN block1/2 question (VERDICT r3 #4) with
+    microbenchmarks: can ANY exact formulation of a small-Cout 3×3 conv
+    exceed the ~18.5%/30% MFU XLA already achieves?
+
+    The analysis (PARITY.md §spec-cnn-ceiling): a 3×3 Cin=16→Cout=16 conv
+    has only 9·16·16 = 2304 distinct weights (block1 conv1: 432) against
+    the MXU's 128×128 = 16384-element stationary tile, and every GEMM
+    re-packing trades contraction depth K against output lanes N while
+    K·N stays fixed.  Whether the hardware can still stream such shapes
+    efficiently (background weight-load hiding, short-M pipeline fill) is
+    a microarchitecture question — so measure it:
+
+    * orientation probes: the same im2col GEMM in XLA's orientation
+      (positions on M, Cout on lanes) vs position-major (positions on
+      lanes, Cout streaming) vs a well-shaped control;
+    * standalone conv subgraphs for block1/block2 (3 convs + pool);
+    * Pallas in-VMEM dot duty: the same shapes looped from VMEM scratch
+      with zero HBM traffic — the ceiling any fused kernel could reach.
+
+    Prints one JSON line with achieved TFLOP/s per probe.  If no probe
+    materially beats the conv subgraph's effective rate, the lever is a
+    measured dead end; if the Pallas duty probe wins, build the fused
+    block kernel.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    results = {}
+    # CPU smoke mode: tiny shapes + interpreted Pallas so the probe's
+    # plumbing is testable without the chip (numbers are meaningless there)
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    def chain_time(step, x0, iters=8, reps=5, flops_per_iter=None):
+        """Median per-iter seconds of a self-chained jitted step."""
+        def run(x, n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x, out = step(x)
+            _ = float(jnp.sum(out))
+            return x, time.perf_counter() - t0
+        x, _ = run(x0, 2)                                   # warmup
+        per = _timed_reps(run, x, iters=iters, reps=reps)
+        return per
+
+    # ---- 1) GEMM orientation probes (bf16, K=144 / N or M=16) ----------
+    S = 2048 if on_cpu else 384 * 1024   # ~3 samples of block1 positions
+    K, CO = 144, 16
+    W2 = jnp.asarray(rng.standard_normal((CO, K)), jnp.bfloat16)
+    P0 = jnp.asarray(rng.standard_normal((K, S)) * 0.1, jnp.bfloat16)
+    gemm_flops = 2 * CO * K * S
+
+    @jax.jit
+    def xla_orient(P):             # (S,144)@(144,16): XLA's conv mapping
+        out = jnp.dot(P.T, W2.T, preferred_element_type=jnp.float32)
+        return P * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-4), out
+
+    @jax.jit
+    def pos_major(P):              # (16,144)@(144,S): positions on lanes
+        out = jnp.dot(W2, P, preferred_element_type=jnp.float32)
+        return P * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-4), out
+
+    for name, fn in [("gemm_xla_orient", xla_orient),
+                     ("gemm_pos_major", pos_major)]:
+        t = chain_time(fn, P0)
+        results[name + "_tflops"] = round(gemm_flops / t / 1e12, 2)
+
+    # control: a well-shaped GEMM at the same FLOP count
+    M = gemm_flops // (2 * 1152 * 256)
+    A0 = jnp.asarray(rng.standard_normal((M, 1152)) * .1, jnp.bfloat16)
+    Wb = jnp.asarray(rng.standard_normal((1152, 256)), jnp.bfloat16)
+
+    @jax.jit
+    def control(A):
+        out = jnp.dot(A, Wb, preferred_element_type=jnp.float32)
+        return A * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-4), out
+
+    t = chain_time(control, A0)
+    results["gemm_control_tflops"] = round(2 * M * 1152 * 256 / t / 1e12, 2)
+
+    # ---- 2) standalone conv subgraphs (3 convs + ReLU + pool) ----------
+    def block(x, cin, cout, pool):
+        ws = [jnp.asarray(rng.standard_normal((3, 3, c_in, c_out)) * .05,
+                          jnp.bfloat16)
+              for c_in, c_out in [(cin, cout), (cout, cout), (cout, cout)]]
+        for w in ws:
+            x = jax.nn.relu(jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
+        red = jax.lax.reduce_window(
+            x, -jnp.inf if pool == "max" else 0.0,
+            jax.lax.max if pool == "max" else jax.lax.add,
+            (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return red if pool == "max" else red / 4.0
+
+    B = 2 if on_cpu else 64
+    for name, (h, w, cin, cout, pool) in {
+            "conv_block1": (400, 300, 3, 16, "max"),
+            "conv_block2": (200, 150, 16, 32, "avg")}.items():
+        x0 = jnp.asarray(rng.standard_normal((B, h, w, cin)), jnp.bfloat16)
+        blk = functools.partial(block, cin=cin, cout=cout, pool=pool)
+
+        @jax.jit
+        def conv_step(x, _blk=blk):
+            out = _blk(x)
+            up = jnp.repeat(jnp.repeat(out, 2, 1), 2, 2)[..., :x.shape[-1]]
+            return x * (1 + jnp.mean(up) * 1e-4), out
+
+        t = chain_time(conv_step, x0)
+        macs = B * h * w * 9 * (cin * cout + 2 * cout * cout)
+        results[name + "_ms"] = round(t * 1e3, 3)
+        results[name + "_mfu"] = round(2 * macs / t / 197e12, 4)
+
+    # ---- 3) Pallas in-VMEM dot duty (the fused-kernel ceiling) ---------
+    N_TILE, R = (512, 2) if on_cpu else (16384, 512)
+
+    def duty_kernel(w_ref, p_ref, o_ref, acc):
+        def body(i, _):
+            acc[:] += jnp.dot(w_ref[:], p_ref[:],
+                              preferred_element_type=jnp.float32)
+            return 0
+        acc[:] = jnp.zeros_like(acc)
+        jax.lax.fori_loop(0, R, body, 0)
+        o_ref[:] = acc[:]
+
+    Pt = jnp.asarray(rng.standard_normal((K, N_TILE)) * .1, jnp.bfloat16)
+    duty = pl.pallas_call(
+        duty_kernel,
+        out_shape=jax.ShapeDtypeStruct((CO, N_TILE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((CO, N_TILE), jnp.float32)],
+        interpret=on_cpu,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * CO * K * N_TILE,
+            bytes_accessed=(CO * K + K * N_TILE + CO * N_TILE) * 2,
+            transcendentals=0),
+    )
+
+    @jax.jit
+    def duty_step(P):
+        out = duty(W2, P)
+        return P * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-9), out
+
+    try:
+        t = chain_time(duty_step, Pt, iters=4)
+        results["pallas_duty_tflops"] = round(
+            2 * R * CO * K * N_TILE / t / 1e12, 2)
+    except Exception as e:                                  # noqa: BLE001
+        results["pallas_duty_tflops"] = f"error: {type(e).__name__}: {e}"
+
+    best = max(v for k, v in results.items()
+               if k.startswith(("gemm_xla", "gemm_pos", "pallas"))
+               and isinstance(v, float))
+    print(json.dumps({
+        "metric": "convprobe_best_smallcout_tflops",
+        "value": best, "unit": "TFLOP/s",
+        "vs_baseline": round(best / 197.0, 4),              # fraction of peak
+        **results,
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -737,6 +906,7 @@ def _require_device(timeout_s: float) -> None:
             "--longeeg": "longeeg_rollout_hours_per_sec_per_chip",
             "--latency": "single_window_stft_effnet_gradcam_latency",
             "--hostgather": "hostgather_ring_ms_per_batch",
+            "--convprobe": "convprobe_best_smallcout_tflops",
         }
         metric = next((m for f, m in mode_metric.items()
                        if f in sys.argv), "eeg_windows_per_sec_per_chip")
@@ -755,7 +925,13 @@ def _require_device(timeout_s: float) -> None:
 
 
 if __name__ == "__main__":
-    _require_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 60)))
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # CPU smoke mode (sitecustomize force-selects the axon platform;
+        # the env var alone is overridden — see .claude/skills/verify)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _require_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 60)))
     if "--gradcam" in sys.argv:
         bench_gradcam()
     elif "--multimodal-effnet" in sys.argv:
@@ -776,5 +952,7 @@ if __name__ == "__main__":
         bench_latency()
     elif "--hostgather" in sys.argv:
         bench_hostgather()
+    elif "--convprobe" in sys.argv:
+        bench_convprobe()
     else:
         main()
