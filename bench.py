@@ -125,6 +125,11 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
     # f32 is pinned by tests
     if spec_model == "effnet":
         spec_branch = models.EfficientNetB0()
+    elif spec_model == "effnetv2":
+        # V2-B2: fused-MBConv early stages are dense convs (MXU work)
+        # where B0 runs depthwise (VPU) — the TPU-first member of the
+        # CFG's preset family (main3.py:40)
+        spec_branch = models.EfficientNetV2B2()
     else:
         spec_branch = models.SpectrogramCNN(dtype=jnp.bfloat16)
     mm = models.MultimodalModel(
@@ -162,9 +167,9 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
     state, _ = run_chain((raw_eeg, raw_spec), 2)   # warmup / compile
     per_iter = _timed_reps(run_chain, state, iters=10, reps=5)
     wps = B / per_iter
-    name = ("multimodal_effnet_windows_per_sec_per_chip"
-            if spec_model == "effnet"
-            else "multimodal_windows_per_sec_per_chip")
+    name = {"effnet": "multimodal_effnet_windows_per_sec_per_chip",
+            "effnetv2": "multimodal_effnetv2_windows_per_sec_per_chip"}.get(
+                spec_model, "multimodal_windows_per_sec_per_chip")
     print(json.dumps({
         "metric": name,
         "value": round(wps, 2), "unit": "windows/s",
@@ -226,6 +231,11 @@ def bench_multimodal_breakdown() -> None:
     def add_stage(name, fn):
         stages.append((name, jax.jit(fn)))
 
+    # stage 0: dispatch + chaining-perturbation cost only — subtracted
+    # from stage 1 so the first real stage isn't overstated by the
+    # ~2-3 ms tunnel dispatch the later differences already cancel
+    add_stage("dispatch_overhead",
+              lambda re, rs: (re[:2, :2, :2], rs[:2, :2, :2]))
     add_stage("eeg_preprocess",
               lambda re, rs: (prep_e(re), rs[:2, :2, :2]))
     add_stage("spec_preprocess",
@@ -899,6 +909,8 @@ def _require_device(timeout_s: float) -> None:
         mode_metric = {
             "--gradcam": "gradcam_cost_vs_inference",
             "--multimodal": "multimodal_windows_per_sec_per_chip",
+            "--multimodal-effnetv2":
+                "multimodal_effnetv2_windows_per_sec_per_chip",
             "--multimodal-effnet": "multimodal_effnet_windows_per_sec_per_chip",
             "--train": "multimodal_train_windows_per_sec_per_chip",
             "--diffusion": "diffeeg_1000step_samples_per_sec_per_chip",
@@ -934,6 +946,8 @@ if __name__ == "__main__":
         _require_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 60)))
     if "--gradcam" in sys.argv:
         bench_gradcam()
+    elif "--multimodal-effnetv2" in sys.argv:
+        bench_multimodal("effnetv2")
     elif "--multimodal-effnet" in sys.argv:
         bench_multimodal("effnet")
     elif "--train" in sys.argv:
