@@ -77,7 +77,8 @@ def eeg_transform(x: jnp.ndarray,
 def hms_eeg_preprocess(x: jnp.ndarray,
                        cfg: C.HMSPreprocessConfig = C.HMSPreprocessConfig(),
                        signal: C.SignalConfig = C.SignalConfig(),
-                       assume_finite: bool = False) -> jnp.ndarray:
+                       assume_finite: bool = False,
+                       serving_dtype=None) -> jnp.ndarray:
     """Batched ``HMS_EEG_Dataset.single_map_func`` (XAI_Multimodality.py:786-797).
 
     ``x``: (..., 20, 10000) raw parquet rows (EEG_COLUMNS order, µV).
@@ -94,6 +95,14 @@ def hms_eeg_preprocess(x: jnp.ndarray,
     identity and both bandpasses commute with the (linear) montage, so the
     chain collapses to montage → ONE 11-section cascade — half the kernel
     passes, mathematically identical output (tested).
+
+    ``serving_dtype=jnp.bfloat16`` (assume_finite path only): the cascade's
+    big data matmul reads the montaged signal in bf16, halving the
+    dominant HBM read of this bandwidth-bound program.  Accumulation,
+    filter states and the entry-state chain stay f32 inside
+    ``iir._cascade_block_matmul``, and the z-score runs f32 on the
+    decimated output — deviation vs the f32 chain is pinned by a test.
+    Training/XAI paths keep f32 (pass None).
     """
     fs = float(signal.sampling_rate)
     bp1 = iir.butter_bandpass(cfg.bandpass.low, cfg.bandpass.high, fs,
@@ -107,8 +116,17 @@ def hms_eeg_preprocess(x: jnp.ndarray,
         # output window lies inside the real signal, i.e. T % 4 == 0
         # (otherwise the reference's circular-roll tail semantics differ);
         # other shapes take the explicit post-pass path below.
-        if (iir._on_tpu() and cfg.decimate_stride == 4
-                and x.shape[-1] % 4 == 0):
+        use_matmul = (iir._on_tpu() and cfg.decimate_stride == 4
+                      and x.shape[-1] % 4 == 0)
+        if serving_dtype is not None:
+            # bf16 only feeds the FIR-like block matmul (f32 accumulate);
+            # the sequential lfilter fallback has feedback recurrences
+            # that are unstable in bf16, so it always runs f32
+            use_matmul = (cfg.decimate_stride == 4
+                          and x.shape[-1] % 4 == 0)
+            if use_matmul:
+                x = x.astype(serving_dtype)
+        if use_matmul:
             # whole cascade as block-Toeplitz MXU matmuls with the
             # rolling-mean-4 + ::4 decimation baked into the output
             # operators (block-local since 128 % 4 == 0) — one matmul
@@ -124,7 +142,10 @@ def hms_eeg_preprocess(x: jnp.ndarray,
         x = montage.bipolar_differential(x)                 # (..., 38, T)
         y = iir.lfilter(bp2, x, axis=-1)
         y = resample.rolling_mean4_decimate_flat(y, cfg.decimate_stride)
-    y = normalize.zscore(y, axis=-1, eps=cfg.zscore_eps)
+    # z-score in f32 even in bf16 serving mode: the mean/variance
+    # accumulations over T/4 samples lose too much in bf16, and the
+    # decimated tensor is 4× smaller so the upcast costs little
+    y = normalize.zscore(y.astype(jnp.float32), axis=-1, eps=cfg.zscore_eps)
     y = montage.select_and_map_channels(y)                  # (..., 37, T/4)
     y = resample.pad_or_truncate(y, signal.fixed_length)
     return y[..., None, :, :]                               # (..., 1, 37, 3000)
