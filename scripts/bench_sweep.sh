@@ -27,8 +27,13 @@ run headline_B512      BENCH_BATCH=512 --
 run gradcam            BENCH_DEVICE_TIMEOUT=120 -- --gradcam
 run latency            BENCH_DEVICE_TIMEOUT=120 -- --latency
 run multimodal         BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_eegbf16 BENCH_EEG_BF16=1 -- --multimodal
+run multimodal_breakdown BENCH_DEVICE_TIMEOUT=120 -- --multimodal --breakdown
 run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
+run multimodal_effnetv2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
+run convprobe          BENCH_DEVICE_TIMEOUT=120 -- --convprobe
 run train              BENCH_DEVICE_TIMEOUT=120 -- --train
+run hostgather         BENCH_DEVICE_TIMEOUT=120 -- --hostgather
 run longeeg            BENCH_DEVICE_TIMEOUT=120 -- --longeeg
 run diffusion          BENCH_DEVICE_TIMEOUT=120 -- --diffusion
 run diffeeg_train      BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
