@@ -715,6 +715,32 @@ def bench_convprobe() -> None:
     t = chain_time(control, A0)
     results["gemm_control_tflops"] = round(2 * M * 1152 * 256 / t / 1e12, 2)
 
+    # ---- 1b) phase-packed GEMM probes ----------------------------------
+    # Output-phase packing grows the small Cout dim by computing a p×q
+    # block of output positions per GEMM row at the cost of redundant
+    # FLOPs (the packed weight is 9/(taps-union) dense): 2×2 → M=4·Cout,
+    # K=16·Cin, 9/16 useful; 2×4 → M=8·Cout=128 (full MXU rows),
+    # K=24·Cin, 9/24 useful.  ``*_eff`` is the useful-FLOP rate — compare
+    # THAT against the conv subgraphs' achieved rate.  (The XLA-level
+    # phase-packed *conv* rewrite was already measured a wash in r3 —
+    # these isolate the GEMM itself, which a fused Pallas kernel would
+    # run; PARITY.md §spec-cnn-ceiling.)
+    for name, m2, k2, useful in [("gemm_pack2x2", 64, 256, 9 / 16),
+                                 ("gemm_pack2x4", 128, 384, 9 / 24)]:
+        n2 = max(256, (gemm_flops // (2 * m2 * k2)) // 128 * 128)
+        Wp_ = jnp.asarray(rng.standard_normal((m2, k2)), jnp.bfloat16)
+        Pp_ = jnp.asarray(rng.standard_normal((k2, n2)) * .1, jnp.bfloat16)
+
+        @jax.jit
+        def packed(P, _W=Wp_):
+            out = jnp.dot(_W, P, preferred_element_type=jnp.float32)
+            return P * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-4), out
+
+        t = chain_time(packed, Pp_)
+        raw = 2 * m2 * k2 * n2 / t / 1e12
+        results[name + "_tflops"] = round(raw, 2)
+        results[name + "_eff_tflops"] = round(raw * useful, 2)
+
     # ---- 2) standalone conv subgraphs (3 convs + ReLU + pool) ----------
     def block(x, cin, cout, pool):
         ws = [jnp.asarray(rng.standard_normal((3, 3, c_in, c_out)) * .05,
@@ -750,47 +776,73 @@ def bench_convprobe() -> None:
         results[name + "_mfu"] = round(2 * macs / t / 197e12, 4)
 
     # ---- 3) Pallas in-VMEM dot duty (the fused-kernel ceiling) ---------
+    # One probe per candidate GEMM shape a fused block kernel would run:
+    # the plain position-major im2col (Cout rows) and the two phase-packed
+    # variants (see 1b).  Zero HBM traffic — whatever rate these reach is
+    # the ceiling for ANY fused formulation with that shape.
     N_TILE, R = (512, 2) if on_cpu else (16384, 512)
 
-    def duty_kernel(w_ref, p_ref, o_ref, acc):
-        def body(i, _):
-            acc[:] += jnp.dot(w_ref[:], p_ref[:],
-                              preferred_element_type=jnp.float32)
-            return 0
-        acc[:] = jnp.zeros_like(acc)
-        jax.lax.fori_loop(0, R, body, 0)
-        o_ref[:] = acc[:]
+    def make_duty(co, k):
+        def duty_kernel(w_ref, p_ref, o_ref, acc):
+            def body(i, _):
+                acc[:] += jnp.dot(w_ref[:], p_ref[:],
+                                  preferred_element_type=jnp.float32)
+                return 0
+            acc[:] = jnp.zeros_like(acc)
+            jax.lax.fori_loop(0, R, body, 0)
+            o_ref[:] = acc[:]
 
-    Pt = jnp.asarray(rng.standard_normal((K, N_TILE)) * .1, jnp.bfloat16)
-    duty = pl.pallas_call(
-        duty_kernel,
-        out_shape=jax.ShapeDtypeStruct((CO, N_TILE), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((CO, N_TILE), jnp.float32)],
-        interpret=on_cpu,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * R * CO * K * N_TILE,
-            bytes_accessed=(CO * K + K * N_TILE + CO * N_TILE) * 2,
-            transcendentals=0),
-    )
+        return pl.pallas_call(
+            duty_kernel,
+            out_shape=jax.ShapeDtypeStruct((co, N_TILE), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((co, N_TILE), jnp.float32)],
+            interpret=on_cpu,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * R * co * k * N_TILE,
+                bytes_accessed=(co * k + k * N_TILE + co * N_TILE) * 2,
+                transcendentals=0),
+        )
 
-    @jax.jit
-    def duty_step(P):
-        out = duty(W2, P)
-        return P * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-9), out
+    for name, co, k, useful in [
+            ("pallas_duty", CO, K, 1.0),            # im2col block2 shape
+            ("pallas_duty_pack2x2", 64, 256, 9 / 16),
+            ("pallas_duty_pack2x4", 128, 384, 9 / 24),
+            ("pallas_duty_b1pack2x2", 64, 48, 9 / 16)]:  # block1 conv1
+        Wd = jnp.asarray(rng.standard_normal((co, k)), jnp.bfloat16)
+        Pt = jnp.asarray(rng.standard_normal((k, N_TILE)) * .1, jnp.bfloat16)
+        duty = make_duty(co, k)
 
-    try:
-        t = chain_time(duty_step, Pt, iters=4)
-        results["pallas_duty_tflops"] = round(
-            2 * R * CO * K * N_TILE / t / 1e12, 2)
-    except Exception as e:                                  # noqa: BLE001
-        results["pallas_duty_tflops"] = f"error: {type(e).__name__}: {e}"
+        @jax.jit
+        def duty_step(P, _duty=duty, _W=Wd):
+            out = _duty(_W, P)
+            return P * (1 + jnp.mean(out).astype(jnp.bfloat16) * 1e-9), out
 
-    best = max(v for k, v in results.items()
-               if k.startswith(("gemm_xla", "gemm_pos", "pallas"))
-               and isinstance(v, float))
+        try:
+            t = chain_time(duty_step, Pt, iters=4)
+            raw = 2 * R * co * k * N_TILE / t / 1e12
+            results[name + "_tflops"] = round(raw, 2)
+            if useful < 1.0:
+                results[name + "_eff_tflops"] = round(raw * useful, 2)
+        except Exception as e:                              # noqa: BLE001
+            results[name + "_tflops"] = f"error: {type(e).__name__}: {e}"
+
+    # "best" compares USEFUL-FLOP rates: a packed probe counts only its
+    # 9/(taps-union) fraction (its *_eff_tflops twin), unpacked probes
+    # count raw.
+    useful_rates = []
+    for key, v in results.items():
+        if not isinstance(v, float) or not key.startswith(
+                ("gemm_xla", "gemm_pos", "gemm_pack", "pallas")):
+            continue
+        if key.endswith("_eff_tflops"):
+            useful_rates.append(v)
+        elif (key.endswith("_tflops")
+              and key[:-len("_tflops")] + "_eff_tflops" not in results):
+            useful_rates.append(v)
+    best = max(useful_rates)
     print(json.dumps({
         "metric": "convprobe_best_smallcout_tflops",
         "value": best, "unit": "TFLOP/s",
