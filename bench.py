@@ -131,7 +131,12 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
         # CFG's preset family (main3.py:40)
         spec_branch = models.EfficientNetV2B2()
     else:
-        spec_branch = models.SpectrogramCNN(dtype=jnp.bfloat16)
+        # BENCH_FUSED_SPEC=N: serve the first N spectrogram blocks through
+        # the phase-packed fused Pallas kernel (ops/pallas_specblock.py) —
+        # the spatial-lanes lever for the 18%/30%-MFU early blocks
+        fused_n = int(os.environ.get("BENCH_FUSED_SPEC", "0"))
+        spec_branch = models.SpectrogramCNN(dtype=jnp.bfloat16,
+                                            fused_blocks=fused_n)
     mm = models.MultimodalModel(
         eeg_model=models.EEGNetAttentionRegularized(),
         spectrogram_model=spec_branch)

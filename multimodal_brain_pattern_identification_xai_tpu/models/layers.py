@@ -84,27 +84,64 @@ class Attention(nn.Module):
         return out, weights
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter shell for one 3×3 conv: declares the same variables as
+    ``nn.Conv`` (kernel HWIO + bias, same names/shapes/inits) so the fused
+    serving path is checkpoint-interchangeable with the unfused one."""
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return k, b
+
+
 class SpectrogramBlock(nn.Module):
     """The 5-block spectrogram CNN's building block (models.py:42-77):
     3× conv3x3+ReLU → pool → BN → dropout, with a bilinear-resized
     1×1-conv skip connection.  NHWC.  ``dtype`` sets the compute dtype
     (bf16 halves the HBM traffic of the fat early activations; params stay
-    f32)."""
+    f32).
+
+    ``fused=True`` routes the conv×3+pool chain through the phase-packed
+    Pallas kernel (:mod:`..ops.pallas_specblock`) at inference — a
+    serving-only path (no VJP; training and input-gradient XAI keep the
+    XLA convs).  Parameters are identical either way."""
     out_channels: int
     pool_type: str = "max"
     pool_size: Tuple[int, int] = (2, 2)
     dropout_p: float = 0.5
     dtype: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from ..ops import pallas_specblock as psb
+
         identity = x
-        for i in range(3):
-            x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                        dtype=self.dtype, name=f"conv{i+1}")(x)
-            x = nn.relu(x)
-        pool = max_pool if self.pool_type == "max" else avg_pool
-        x = pool(x, self.pool_size)
+        cfg = (psb.choose_fused_config(*x.shape[1:3], self.out_channels)
+               if self.fused and not train and self.pool_size == (2, 2)
+               else None)
+        if cfg is not None:
+            cin = x.shape[-1]
+            ks, bs = zip(*[
+                _Conv3x3Params(self.out_channels, name=f"conv{i+1}")(
+                    cin if i == 0 else self.out_channels)
+                for i in range(3)])
+            x = psb.fused_specblock_convpool(
+                x, ks, bs, pool=self.pool_type, pack_w=cfg[0],
+                strip_rows=cfg[1], dtype=self.dtype or x.dtype,
+                interpret=jax.devices()[0].platform == "cpu")
+        else:
+            for i in range(3):
+                x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                            dtype=self.dtype, name=f"conv{i+1}")(x)
+                x = nn.relu(x)
+            pool = max_pool if self.pool_type == "max" else avg_pool
+            x = pool(x, self.pool_size)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)

@@ -25,6 +25,10 @@ class SpectrogramCNN(nn.Module):
     #: sequence instead of duplicating it
     pools: tuple = ("max", "avg", "max", "avg", "max")
     dtype: Any = None
+    #: serve the first N blocks through the fused phase-packed Pallas
+    #: kernel (ops/pallas_specblock.py) — inference-only opt-in; params
+    #: are identical to the unfused model
+    fused_blocks: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -33,6 +37,7 @@ class SpectrogramCNN(nn.Module):
             x = x.astype(self.dtype)
         for i, (w, p) in enumerate(zip(self.widths, self.pools)):
             x = SpectrogramBlock(w, pool_type=p, dtype=self.dtype,
+                                 fused=i < self.fused_blocks,
                                  name=f"block{i+1}")(x, train)
         self.sow("intermediates", "feature_map", x)
         x = self.perturb("feature_map", x)

@@ -41,3 +41,7 @@ from .preprocess import (  # noqa: F401
     preprocess_multimodal,
     mirror_eeg,
 )
+from .pallas_specblock import (  # noqa: F401
+    fused_specblock_convpool,
+    choose_fused_config,
+)
