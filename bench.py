@@ -212,7 +212,11 @@ def bench_multimodal_breakdown() -> None:
     raw_spec = jnp.asarray(synthetic_raw_spectrogram(B, rng))
 
     dt = jnp.bfloat16
-    spec_branch = models.SpectrogramCNN(dtype=dt)
+    # BENCH_FUSED_SPEC=N: route the first N blocks through the fused
+    # phase-packed Pallas kernel, so the per-block MFU of the fused vs
+    # XLA formulations is directly comparable (MFU stays in useful FLOPs)
+    fused_n = int(os.environ.get("BENCH_FUSED_SPEC", "0"))
+    spec_branch = models.SpectrogramCNN(dtype=dt, fused_blocks=fused_n)
     mm = models.MultimodalModel(
         eeg_model=models.EEGNetAttentionRegularized(),
         spectrogram_model=spec_branch)
@@ -225,8 +229,8 @@ def bench_multimodal_breakdown() -> None:
     bs = v["batch_stats"]["spectrogram_model"]
 
     widths = spec_branch.widths
-    blocks = [SpectrogramBlock(w, pool_type=p, dtype=dt)
-              for w, p in zip(widths, spec_branch.pools)]
+    blocks = [SpectrogramBlock(w, pool_type=p, dtype=dt, fused=i < fused_n)
+              for i, (w, p) in enumerate(zip(widths, spec_branch.pools))]
 
     def spec_blocks_upto(rs, k):
         x = nchw_to_nhwc(prep_s(rs))
@@ -317,6 +321,7 @@ def bench_multimodal_breakdown() -> None:
         "value": round(wps, 2), "unit": "windows/s",
         "vs_baseline": round(wps / 10_000.0, 4),
         "batch": B,
+        "fused_spec_blocks": fused_n,
         "per_stage_ms": {k: round(v_, 3) for k, v_ in per_stage_ms.items()},
         "spec_block_mfu": block_mfu,
         "note": ("per-stage = difference of chained prefix programs "
