@@ -112,7 +112,8 @@ def test_frechet_matches_scipy_sqrtm(rng):
     mu_a, mu_b = a.mean(0), b.mean(0)
     ca = np.cov(a, rowvar=False) + 1e-6 * np.eye(6)
     cb = np.cov(b, rowvar=False) + 1e-6 * np.eye(6)
-    cs, _ = sqrtm(ca @ cb, disp=False)
+    cs = sqrtm(ca @ cb)  # scipy ≥1.16: returns the sqrtm alone; the old
+    # ``disp``/errest API is deprecated (removal slated for 1.18)
     ref = float(np.sum((mu_a - mu_b) ** 2)
                 + np.trace(ca + cb - 2 * cs.real))
     assert abs(got - ref) / abs(ref) < 1e-3
