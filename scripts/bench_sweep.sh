@@ -29,6 +29,10 @@ run latency            BENCH_DEVICE_TIMEOUT=120 -- --latency
 run multimodal         BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 run multimodal_eegbf16 BENCH_EEG_BF16=1 -- --multimodal
 run multimodal_breakdown BENCH_DEVICE_TIMEOUT=120 -- --multimodal --breakdown
+# fused phase-packed Pallas spec blocks (r4 lever; first compile ~minutes)
+run multimodal_fused2  BENCH_FUSED_SPEC=2 -- --multimodal
+run multimodal_fused1  BENCH_FUSED_SPEC=1 -- --multimodal
+run multimodal_breakdown_fused2 BENCH_FUSED_SPEC=2 -- --multimodal --breakdown
 run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
 run multimodal_effnetv2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
 run convprobe          BENCH_DEVICE_TIMEOUT=120 -- --convprobe

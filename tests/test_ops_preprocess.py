@@ -91,6 +91,18 @@ def test_hms_spectrogram_preprocess_bf16_serving_close_to_f32(rng):
     assert np.max(np.abs(bf16 - f32)) < 2e-2
 
 
+def test_hms_spectrogram_linear_ops_route_matches_sequential(rng):
+    """The default dense-operator route ((M_h @ x) @ M_w for the linear
+    baseline→filtfilt→Gaussian section) is numerically the sequential
+    chain: the operators are built by pushing identities through
+    reference-exact float64 scipy/numpy implementations."""
+    spec = (rng.standard_normal((3, 400, 300)) * 5).astype(np.float32)
+    spec[0, 5, :7] = np.nan
+    fast = np.asarray(ops.hms_spectrogram_preprocess(spec, linear_ops=True))
+    seq = np.asarray(ops.hms_spectrogram_preprocess(spec, linear_ops=False))
+    assert np.max(np.abs(fast - seq)) < 1e-5        # output lives in [0,1]
+
+
 def test_eeg_transform_parity(rng):
     x = (rng.standard_normal((3, 10_000, 19)) * 300).astype(np.float32)
     cfg = C.EEGTransformConfig()
