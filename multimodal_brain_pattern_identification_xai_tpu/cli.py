@@ -91,6 +91,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "commands this is the DDP-equivalent loop "
                         "(gradient psum inside the compiled step); on "
                         "`predict` it shards inference")
+    p.add_argument("--fused-spec", type=int, default=0,
+                   help="predict: serve the first N spectrogram CNN "
+                        "blocks through the fused phase-packed Pallas "
+                        "kernel (inference-only; params identical to the "
+                        "unfused model)")
 
 
 def _load_cfg(args):
@@ -896,7 +901,8 @@ def cmd_predict(args) -> int:
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(samples=600,
                                                         kern_length=16),
-            spectrogram_model=models.SpectrogramCNN())
+            spectrogram_model=models.SpectrogramCNN(
+                fused_blocks=args.fused_spec))
         eeg0, spec0 = ops.preprocess_multimodal(raw_eeg[:2], raw_spec[:2],
                                                 signal=sig)
         v0 = mm.init(jax.random.PRNGKey(args.seed), eeg0, spec0)
@@ -917,7 +923,8 @@ def cmd_predict(args) -> int:
         b0 = src.gather(np.arange(min(2, n)))
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(),
-            spectrogram_model=models.SpectrogramCNN())
+            spectrogram_model=models.SpectrogramCNN(
+                fused_blocks=args.fused_spec))
         eeg0, spec0 = ops.preprocess_multimodal(
             jnp.asarray(b0["eeg"]), jnp.asarray(b0["spec"]),
             assume_finite=True)

@@ -48,6 +48,27 @@ def test_cli_predict_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_predict_fused_spec_matches_unfused(tmp_path):
+    """predict --fused-spec 2 (phase-packed Pallas spec blocks) produces
+    the same predictions as the standard path — same fresh-init params
+    either way (the fused param shells mirror nn.Conv)."""
+    import numpy as np
+    import pandas as pd
+    from multimodal_brain_pattern_identification_xai_tpu.cli import main
+
+    assert main(["predict", "--demo",
+                 "--ckpt-dir", str(tmp_path / "plain")]) == 0
+    assert main(["predict", "--demo", "--fused-spec", "2",
+                 "--ckpt-dir", str(tmp_path / "fused")]) == 0
+    a = pd.read_csv(tmp_path / "plain" / "predictions.csv")
+    b = pd.read_csv(tmp_path / "fused" / "predictions.csv")
+    cols = [c for c in a.columns if c.startswith("p_")]
+    np.testing.assert_allclose(a[cols].to_numpy(), b[cols].to_numpy(),
+                               rtol=1e-4, atol=1e-5)
+    assert (a["predicted_class"] == b["predicted_class"]).all()
+
+
+@pytest.mark.slow
 def test_cli_predict_mesh_matches_single_device(tmp_path):
     """predict --mesh 8 (data-parallel serving over the virtual mesh)
     produces the same probabilities as the single-device path."""
