@@ -24,6 +24,7 @@ run() {  # run <label> <env...> -- <args...>
 
 run headline           BENCH_DEVICE_TIMEOUT=120 --
 run headline_B512      BENCH_BATCH=512 --
+run headline_eegbf16   BENCH_EEG_BF16=1 --
 run gradcam            BENCH_DEVICE_TIMEOUT=120 -- --gradcam
 run latency            BENCH_DEVICE_TIMEOUT=120 -- --latency
 run multimodal         BENCH_DEVICE_TIMEOUT=120 -- --multimodal
