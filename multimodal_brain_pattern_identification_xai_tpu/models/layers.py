@@ -107,9 +107,11 @@ class SpectrogramBlock(nn.Module):
     f32).
 
     ``fused=True`` routes the conv×3+pool chain through the phase-packed
-    Pallas kernel (:mod:`..ops.pallas_specblock`) at inference — a
-    serving-only path (no VJP; training and input-gradient XAI keep the
-    XLA convs).  Parameters are identical either way."""
+    Pallas kernel (:mod:`..ops.pallas_specblock`) at inference; training
+    keeps the XLA convs.  The fused path uses the kernel's custom-VJP
+    wrapper, so input-gradient XAI (saliency/IG/SHAP) differentiates
+    through fused-serving models (backward = vjp of the equivalent XLA
+    chain).  Parameters are identical either way."""
     out_channels: int
     pool_type: str = "max"
     pool_size: Tuple[int, int] = (2, 2)
@@ -131,7 +133,7 @@ class SpectrogramBlock(nn.Module):
                 _Conv3x3Params(self.out_channels, name=f"conv{i+1}")(
                     cin if i == 0 else self.out_channels)
                 for i in range(3)])
-            x = psb.fused_specblock_convpool(
+            x = psb.fused_specblock_convpool_vjp(
                 x, ks, bs, pool=self.pool_type, pack_w=cfg[0],
                 strip_rows=cfg[1], dtype=self.dtype or x.dtype,
                 interpret=jax.devices()[0].platform == "cpu")

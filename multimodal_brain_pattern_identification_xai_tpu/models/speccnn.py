@@ -26,8 +26,9 @@ class SpectrogramCNN(nn.Module):
     pools: tuple = ("max", "avg", "max", "avg", "max")
     dtype: Any = None
     #: serve the first N blocks through the fused phase-packed Pallas
-    #: kernel (ops/pallas_specblock.py) — inference-only opt-in; params
-    #: are identical to the unfused model
+    #: kernel (ops/pallas_specblock.py) — serving opt-in (training keeps
+    #: XLA convs; input gradients flow via the kernel's custom VJP);
+    #: params are identical to the unfused model
     fused_blocks: int = 0
 
     @nn.compact

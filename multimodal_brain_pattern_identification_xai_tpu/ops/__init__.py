@@ -43,5 +43,6 @@ from .preprocess import (  # noqa: F401
 )
 from .pallas_specblock import (  # noqa: F401
     fused_specblock_convpool,
+    fused_specblock_convpool_vjp,
     choose_fused_config,
 )

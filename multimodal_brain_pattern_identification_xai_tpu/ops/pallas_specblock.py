@@ -29,9 +29,10 @@ space-to-depth turns im2col into aligned copies, no strided gathers.
 Whether the packed GEMM's raw rate beats its 9/T useful-FLOP tax is a
 microarchitecture question measured by ``bench.py --convprobe``
 (``pallas_duty_pack*`` = this kernel's in-VMEM ceiling); this module is
-the full-pipeline realization.  Serving-path only (no custom VJP): the
-model falls back to the unfused path for training and input-gradient
-XAI.
+the full-pipeline realization.  Serving-first: training uses the unfused
+XLA path, but :func:`fused_specblock_convpool_vjp` gives the kernel a
+custom backward (the vjp of the equivalent XLA chain) so input-gradient
+XAI runs through fused-serving models too.
 
 Layout details (per grid cell = one image strip of one sample):
 
@@ -213,7 +214,8 @@ def fused_specblock_convpool(x: jnp.ndarray,
     """conv3x3+ReLU ×3 → 2×2 pool (stride 2, VALID), fused in one Pallas
     program.  ``x`` NHWC; ``kernels`` three HWIO (3,3,·,·) arrays with
     kernels[1:] square in Cout; ``biases`` three (Cout,).  Returns NHWC
-    (B, H/2, W/2, Cout).  Inference-path only (no VJP)."""
+    (B, H/2, W/2, Cout).  Not differentiable — use
+    :func:`fused_specblock_convpool_vjp` under ``jax.grad``."""
     b, h, w, cin0 = x.shape
     co = kernels[0].shape[-1]
     assert all(k.shape[-1] == co for k in kernels)
@@ -268,3 +270,66 @@ def fused_specblock_convpool(x: jnp.ndarray,
     out = out.reshape(b, s, q_n, co, hb, bcp)[..., 1:-1]
     out = out.transpose(0, 1, 4, 5, 2, 3).reshape(b, br, wb * q_n, co)
     return out
+
+
+def _xla_chain_convpool(x, kernels, biases, pool, dtype):
+    """The fused kernel's mathematical twin as plain XLA ops (ground truth
+    in tests, and the backward rule below)."""
+    x = x.astype(dtype)
+    for k, b in zip(kernels, biases):
+        x = jax.lax.conv_general_dilated(
+            x, k.astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        x = jnp.maximum(x + b.astype(jnp.float32), 0.0).astype(dtype)
+    init = -jnp.inf if pool == "max" else 0.0
+    op = jax.lax.max if pool == "max" else jax.lax.add
+    red = jax.lax.reduce_window(x, jnp.asarray(init, x.dtype), op,
+                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return red if pool == "max" else red / 4.0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_convpool_diff(x, kernels, biases, pool, pack_w,
+                         strip_rows, dtype, interpret):
+    return fused_specblock_convpool(
+        x, kernels, biases, pool=pool, pack_w=pack_w,
+        strip_rows=strip_rows, dtype=dtype, interpret=interpret)
+
+
+def _fused_vjp_fwd(x, kernels, biases, pool, pack_w, strip_rows, dtype,
+                   interpret):
+    out = _fused_convpool_diff(x, kernels, biases, pool, pack_w,
+                               strip_rows, dtype, interpret)
+    return out, (x, kernels, biases)
+
+
+def _fused_vjp_bwd(pool, pack_w, strip_rows, dtype, interpret, res, g):
+    x, kernels, biases = res
+    _, vjp = jax.vjp(
+        lambda x_, ks_, bs_: _xla_chain_convpool(x_, ks_, bs_, pool, dtype),
+        x, kernels, biases)
+    # _xla_chain_convpool's output dtype is always ``dtype`` (each stage
+    # ends in .astype(dtype); the pool preserves it).
+    return vjp(g.astype(dtype))
+
+
+_fused_convpool_diff.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_specblock_convpool_vjp(x: jnp.ndarray,
+                                 kernels: Sequence[jnp.ndarray],
+                                 biases: Sequence[jnp.ndarray],
+                                 *, pool: str = "max",
+                                 pack_w: int = 4,
+                                 strip_rows: int = 25,
+                                 dtype=jnp.bfloat16,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Differentiable :func:`fused_specblock_convpool`: forward through the
+    Pallas kernel, backward through the vjp of the equivalent XLA chain
+    (recomputed from the saved primals) — so input-gradient XAI (saliency,
+    IG, SHAP) works on a fused-serving model.  In f32 the two functions
+    agree to reassociation; in bf16 the backward is the gradient of the
+    mathematically identical chain evaluated at the same primals."""
+    return _fused_convpool_diff(x, tuple(kernels), tuple(biases), pool,
+                                pack_w, strip_rows, dtype, interpret)

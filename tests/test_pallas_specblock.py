@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from multimodal_brain_pattern_identification_xai_tpu.ops.pallas_specblock import (
-    fused_specblock_convpool, pack_conv_weights)
+    fused_specblock_convpool, fused_specblock_convpool_vjp,
+    pack_conv_weights)
 
 
 def _ref_chain(x, kernels, biases, pool):
@@ -82,6 +83,53 @@ def test_pack_conv_weights_density_and_values():
     # phase (0,0), tap (u=1,v=1) ↔ kernel center-less… ky=1,kx=1 → K3[1,1].T
     blk = np.asarray(wp[:8, (1 * 6 + 1) * 4:(1 * 6 + 2) * 4])
     np.testing.assert_array_equal(blk, np.asarray(k[1, 1]).T)
+
+
+def test_fused_vjp_gradients_match_xla_chain():
+    """The custom-VJP wrapper's gradients (w.r.t. input, kernels, biases)
+    equal the gradients of the unfused XLA chain in f32."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 3)), jnp.float32)
+    kernels, biases = _params(rng, 3, 8)
+
+    def loss_fused(x, ks, bs):
+        out = fused_specblock_convpool_vjp(
+            x, ks, bs, pool="avg", pack_w=4, strip_rows=2,
+            dtype=jnp.float32, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, ks, bs):
+        return jnp.sum(_ref_chain(x, list(ks), list(bs), "avg") ** 2)
+
+    args = (x, tuple(kernels), tuple(biases))
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_model_input_gradient_matches_unfused():
+    """Saliency-style input gradients flow through a fused-serving
+    SpectrogramCNN and match the unfused model (f32)."""
+    from multimodal_brain_pattern_identification_xai_tpu.models import (
+        SpectrogramCNN)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 64)), jnp.float32)
+    base = SpectrogramCNN()
+    variables = base.init(jax.random.PRNGKey(0), x[:1])
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    fused = SpectrogramCNN(fused_blocks=2)
+
+    def sal(model):
+        return jax.grad(lambda xi: model.apply(variables, xi)[:, 1].sum())(x)
+
+    np.testing.assert_allclose(np.asarray(sal(fused)),
+                               np.asarray(sal(base)),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_speccnn_fused_blocks_matches_unfused():
