@@ -92,10 +92,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "(gradient psum inside the compiled step); on "
                         "`predict` it shards inference")
     p.add_argument("--fused-spec", type=int, default=0,
-                   help="predict: serve the first N spectrogram CNN "
+                   help="predict/xai: run the first N spectrogram CNN "
                         "blocks through the fused phase-packed Pallas "
-                        "kernel (inference-only; params identical to the "
-                        "unfused model)")
+                        "kernel (params identical to the unfused model; "
+                        "input-gradient XAI differentiates through it "
+                        "via the kernel's custom VJP)")
 
 
 def _load_cfg(args):
@@ -733,7 +734,8 @@ def cmd_xai(args) -> int:
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(samples=600,
                                                         kern_length=16),
-            spectrogram_model=models.SpectrogramCNN())
+            spectrogram_model=models.SpectrogramCNN(
+                fused_blocks=args.fused_spec))
         variables = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2],
                             spec_in[:2])
         variables = {"params": variables["params"],
@@ -762,7 +764,8 @@ def cmd_xai(args) -> int:
         y_in, y_bg = batch["y"], bg["y"]
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(),
-            spectrogram_model=models.SpectrogramCNN())
+            spectrogram_model=models.SpectrogramCNN(
+                fused_blocks=args.fused_spec))
         v0 = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2], spec_in[:2])
         # the restore target's opt_state pytree must match what
         # train-multimodal saved — same optimizer factory, not a bare adam

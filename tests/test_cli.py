@@ -117,6 +117,20 @@ def test_cli_xai_mesh_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_xai_fused_spec_demo(tmp_path):
+    """xai --fused-spec 2: the full attribution report (saliency through
+    the kernel's custom VJP, LIME forward, Grad-CAM whose perturbation
+    point sits after the never-fused block 5) runs on a fused-serving
+    model."""
+    r = _run(["xai", "--demo", "--fused-spec", "2",
+              "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "top-10 channels" in r.stdout
+    assert "LIME top label" in r.stdout
+    assert "grad-cam" in r.stdout.lower() or "gradcam" in r.stdout.lower()
+
+
+@pytest.mark.slow
 def test_cli_grid_search_demo(tmp_path):
     """grid-search: every grid point trains inside one vmapped jit
     (reference parallel_grid_search's GPU-pool, training_utils.py:48-132)."""
