@@ -91,6 +91,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "commands this is the DDP-equivalent loop "
                         "(gradient psum inside the compiled step); on "
                         "`predict` it shards inference")
+    p.add_argument("--arch", default=None,
+                   help="train-eeg/train-spectrogram: zoo model to "
+                        "pretrain (registry name, e.g. eegnet_residual, "
+                        "deepconvnet, spectrogram_vit, efficientnetv2_b2;"
+                        " default eegnet_attention_regularized / "
+                        "spectrogram_cnn — the reference's main3.py-style"
+                        " per-arch experiment runs)")
     p.add_argument("--fused-spec", type=int, default=0,
                    help="predict/xai: run the first N spectrogram CNN "
                         "blocks through the fused phase-packed Pallas "
@@ -448,19 +455,39 @@ def _train_branch(args, which: str) -> int:
     import jax.numpy as jnp
     from . import config as C, data, models, ops, train, utils
 
+    # --arch: any zoo model that consumes this branch's input layout
+    # (the reference's per-arch experiment scripts, main3.py:37-51 /
+    # notebook :1319-1536, select the model by CFG name the same way);
+    # validated before any data/model work
+    _BRANCH_ARCHS = {
+        "eeg": ("eegnet", "eegnet_attention_deep",
+                "eegnet_attention_regularized", "eegnet_residual",
+                "eegnet_residual_lstm", "eegnet_transformer",
+                "eeg_seizure_detection", "deepconvnet"),
+        "spectrogram": ("spectrogram_cnn", "spectrogram_vit",
+                        "efficientnet_b0", "efficientnetv2_b2"),
+    }
+    arch = args.arch or _BRANCH_ARCHS[which][2 if which == "eeg" else 0]
+    if arch not in _BRANCH_ARCHS[which]:
+        raise SystemExit(
+            f"--arch {arch!r} is not a {which}-branch model; "
+            f"choose from {_BRANCH_ARCHS[which]}")
+
     cfg = _load_cfg(args)
     (sig, raw_batches, tr_idx, va_idx, eeg_kwargs,
      pf_kwargs) = _multimodal_data(args, cfg)
     bs = args.batch_size or (8 if args.demo else cfg.trainer.batch_size)
     mesh, tr_sh, bs = _train_mesh(args, bs)
     if which == "eeg":
-        model = models.EEGNetAttentionRegularized(**eeg_kwargs)
+        cls = models.REGISTRY[arch]
+        fields = {f.name for f in dataclasses.fields(cls)}
+        model = cls(**{k: v for k, v in eeg_kwargs.items() if k in fields})
         pp = jax.jit(lambda e: ops.hms_eeg_preprocess(
             e, signal=sig, assume_finite=not args.demo))
         mirror = jax.jit(ops.mirror_eeg)
         key_name = "eeg"
     else:
-        model = models.SpectrogramCNN()
+        model = models.build(arch)
         pp = jax.jit(lambda s: ops.hms_spectrogram_preprocess(s, signal=sig))
         key_name = "spec"
 

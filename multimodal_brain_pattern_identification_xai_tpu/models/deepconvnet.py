@@ -17,6 +17,17 @@ class DeepConvNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # four VALID (1,10) convs with /4 pools: T shrinks t→(t-9)//4 three
+        # times then -9 once; anything shorter bottoms out at zero features
+        # and dies inside flax with an opaque ZeroDivisionError
+        t = x.shape[-1]
+        for _ in range(3):
+            t = (t - 9) // 4
+        if t - 9 < 1:
+            raise ValueError(
+                f"DeepConvNet needs ≥829 time samples (got {x.shape[-1]}): "
+                "the four VALID conv-pool stages collapse shorter inputs "
+                "to zero features")
         x = nchw_to_nhwc(x)                     # (B, Chans, T, 1)
         x = nn.Conv(25, (1, 10), padding="VALID", use_bias=False,
                     name="conv1")(x)

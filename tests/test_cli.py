@@ -117,6 +117,36 @@ def test_cli_xai_mesh_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_branch_arch_demo(tmp_path):
+    """--arch selects the zoo model for branch pretraining (the
+    reference's per-arch experiment scripts, main3.py:37-51): a non-default
+    EEG arch and a non-default spectrogram arch both train end-to-end."""
+    r = _run(["train-eeg", "--demo", "--epochs", "1", "--arch",
+              "eegnet_residual", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "eeg branch best kldiv" in r.stdout
+    # deepconvnet needs full-length (≥829-sample) windows; the demo's
+    # 600-sample crops get a clear error, not a flax shape blow-up
+    r = _run(["train-eeg", "--demo", "--epochs", "1", "--arch",
+              "deepconvnet", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode != 0
+    assert "DeepConvNet needs" in r.stderr
+    r = _run(["train-spectrogram", "--demo", "--epochs", "1", "--arch",
+              "efficientnet_b0", "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "spectrogram branch best kldiv" in r.stdout
+
+
+def test_cli_train_branch_arch_rejects_wrong_branch(tmp_path):
+    """--arch names from the other branch (or unknown) fail fast with the
+    valid choices, before any data/model work."""
+    r = _run(["train-eeg", "--demo", "--arch", "spectrogram_vit",
+              "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode != 0
+    assert "not a eeg-branch model" in r.stderr
+
+
+@pytest.mark.slow
 def test_cli_xai_fused_spec_demo(tmp_path):
     """xai --fused-spec 2: the full attribution report (saliency through
     the kernel's custom VJP, LIME forward, Grad-CAM whose perturbation
