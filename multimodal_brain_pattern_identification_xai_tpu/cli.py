@@ -431,6 +431,21 @@ def _init_from_branches(state, mm, first, init_dir: str, lr: float):
         if not os.path.isdir(ckpt_dir):
             print(f"warning: no {which} branch checkpoint under {init_dir}")
             continue
+        # branch runs record their --arch; param trees cannot graft
+        # across architectures, so fail fast with the fix instead of a
+        # tree-mismatch error deep inside the checkpoint restore
+        marker = os.path.join(ckpt_dir, "ARCH")
+        expected = ("eegnet_attention_regularized" if which == "eeg"
+                    else "spectrogram_cnn")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                arch = f.read().strip()
+            if arch != expected:
+                raise SystemExit(
+                    f"--init-from: the {which} branch under {ckpt_dir} was "
+                    f"pretrained with --arch {arch}, but the multimodal "
+                    f"model's {which} branch is {expected}; repretrain "
+                    f"without --arch for the handoff")
         bmodel = mm.eeg_model if which == "eeg" else mm.spectrogram_model
         bstate = train.create_train_state(
             bmodel, (sample,), train.state.make_optimizer(lr),
@@ -526,6 +541,10 @@ def _train_branch(args, which: str) -> int:
     trainer = train.Trainer(state, tc, mesh=mesh,
                             ckpt_dir=f"{args.ckpt_dir}/{which}")
     _, best, _ = trainer.train_eval(train_iter, val_iter)
+    # record the arch so `train-multimodal --init-from` can verify the
+    # handoff instead of failing inside the checkpoint restore
+    with open(os.path.join(args.ckpt_dir, which, "ARCH"), "w") as f:
+        f.write(arch + "\n")
     p = utils.plot_training_curves(trainer.history, args.ckpt_dir,
                                    f"{which}_training_curves")
     print(f"{which} branch best kldiv: {best:.4f}; curves: {p}")

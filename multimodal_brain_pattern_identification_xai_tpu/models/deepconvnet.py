@@ -17,16 +17,16 @@ class DeepConvNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # four VALID (1,10) convs with /4 pools: T shrinks t→(t-9)//4 three
-        # times then -9 once; anything shorter bottoms out at zero features
-        # and dies inside flax with an opaque ZeroDivisionError
+        # four VALID (1,10) conv + (1,4) pool stages: T shrinks
+        # t→(t-9)//4 four times; anything shorter bottoms out at zero
+        # features and dies inside flax with an opaque ZeroDivisionError
         t = x.shape[-1]
-        for _ in range(3):
+        for _ in range(4):
             t = (t - 9) // 4
-        if t - 9 < 1:
+        if t < 1:
             raise ValueError(
-                f"DeepConvNet needs ≥829 time samples (got {x.shape[-1]}): "
-                "the four VALID conv-pool stages collapse shorter inputs "
+                f"DeepConvNet needs ≥1021 time samples (got {x.shape[-1]}):"
+                " the four VALID conv-pool stages collapse shorter inputs "
                 "to zero features")
         x = nchw_to_nhwc(x)                     # (B, Chans, T, 1)
         x = nn.Conv(25, (1, 10), padding="VALID", use_bias=False,

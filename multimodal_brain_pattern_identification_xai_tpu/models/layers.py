@@ -118,6 +118,10 @@ class SpectrogramBlock(nn.Module):
     dropout_p: float = 0.5
     dtype: Any = None
     fused: bool = False
+    #: None = interpret the Pallas kernel unless the default backend is a
+    #: real TPU; set explicitly when the apply-time device differs from
+    #: the default backend (e.g. jax.default_device(cpu) on a TPU host)
+    fused_interpret: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -133,10 +137,18 @@ class SpectrogramBlock(nn.Module):
                 _Conv3x3Params(self.out_channels, name=f"conv{i+1}")(
                     cin if i == 0 else self.out_channels)
                 for i in range(3)])
+            interp = self.fused_interpret
+            if interp is None:
+                # Mosaic kernels only lower on a real TPU; everywhere else
+                # (cpu, gpu) degrade to interpret mode instead of a
+                # lowering crash.  default_backend() avoids jax.devices()
+                # (which can block when a remote backend's transport is
+                # down) — same platform string, no device enumeration.
+                interp = jax.default_backend() not in ("tpu", "axon")
             x = psb.fused_specblock_convpool_vjp(
                 x, ks, bs, pool=self.pool_type, pack_w=cfg[0],
                 strip_rows=cfg[1], dtype=self.dtype or x.dtype,
-                interpret=jax.devices()[0].platform == "cpu")
+                interpret=interp)
         else:
             for i in range(3):
                 x = nn.Conv(self.out_channels, (3, 3), padding="SAME",

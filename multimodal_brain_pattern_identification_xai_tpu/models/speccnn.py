@@ -30,6 +30,9 @@ class SpectrogramCNN(nn.Module):
     #: XLA convs; input gradients flow via the kernel's custom VJP);
     #: params are identical to the unfused model
     fused_blocks: int = 0
+    #: passthrough to SpectrogramBlock.fused_interpret (None = auto by
+    #: default backend; set when the apply-time device differs from it)
+    fused_interpret: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -39,6 +42,7 @@ class SpectrogramCNN(nn.Module):
         for i, (w, p) in enumerate(zip(self.widths, self.pools)):
             x = SpectrogramBlock(w, pool_type=p, dtype=self.dtype,
                                  fused=i < self.fused_blocks,
+                                 fused_interpret=self.fused_interpret,
                                  name=f"block{i+1}")(x, train)
         self.sow("intermediates", "feature_map", x)
         x = self.perturb("feature_map", x)

@@ -213,7 +213,8 @@ def hms_spectrogram_preprocess(spec: jnp.ndarray,
     spectrogram (cropping happens host-side in the loader since it is pure
     indexing).  Returns (..., 3, 400, 300) float32.
 
-    Chain: reach ``image_size`` (see below) → NaN repair → baseline
+    Chain: reach ``image_size`` + NaN repair (repair first when
+    resampling — see ``resize_mode`` below) → baseline
     correction (column-mean subtract) → 60 Hz notch ``filtfilt`` down the
     time axis → Gaussian σ=1 smooth → min-max → final anti-aliased resize
     (a same-shape identity here, as in the reference, elided) → tile to 3
@@ -242,14 +243,19 @@ def hms_spectrogram_preprocess(spec: jnp.ndarray,
     pinned against each other by a test).
     """
     if signal.resize_mode == "resample":
-        x = resample.resize_antialiased(spec, tuple(signal.image_size))
+        # NaN repair must precede the dense resize matmuls: one NaN pixel
+        # would otherwise smear across the operators' whole
+        # Gaussian+bilinear support band (and an all-NaN row would wipe
+        # several output rows) before the repair could see it
+        x = nanfix.nan_to_channel_mean(spec, axis=-1)
+        x = resample.resize_antialiased(x, tuple(signal.image_size))
     elif signal.resize_mode == "pad":
         x = resample.pad_or_truncate(spec, tuple(signal.image_size))
+        x = nanfix.nan_to_channel_mean(x, axis=-1)
     else:
         raise ValueError(
             f"signal.resize_mode must be 'pad' or 'resample', "
             f"got {signal.resize_mode!r}")
-    x = nanfix.nan_to_channel_mean(x, axis=-1)
     notch = iir.iirnotch(cfg.notch_freq_hz, cfg.notch_quality,
                          float(signal.sampling_rate))
     if linear_ops:

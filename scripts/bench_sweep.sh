@@ -23,17 +23,17 @@ run() {  # run <label> <env...> -- <args...>
 }
 
 run headline           BENCH_DEVICE_TIMEOUT=120 --
-run headline_B512      BENCH_BATCH=512 --
-run headline_eegbf16   BENCH_EEG_BF16=1 --
+run headline_B512      BENCH_BATCH=512 BENCH_DEVICE_TIMEOUT=120 --
+run headline_eegbf16   BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 --
 run gradcam            BENCH_DEVICE_TIMEOUT=120 -- --gradcam
 run latency            BENCH_DEVICE_TIMEOUT=120 -- --latency
 run multimodal         BENCH_DEVICE_TIMEOUT=120 -- --multimodal
-run multimodal_eegbf16 BENCH_EEG_BF16=1 -- --multimodal
+run multimodal_eegbf16 BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 run multimodal_breakdown BENCH_DEVICE_TIMEOUT=120 -- --multimodal --breakdown
 # fused phase-packed Pallas spec blocks (r4 lever; first compile ~minutes)
-run multimodal_fused2  BENCH_FUSED_SPEC=2 -- --multimodal
-run multimodal_fused1  BENCH_FUSED_SPEC=1 -- --multimodal
-run multimodal_breakdown_fused2 BENCH_FUSED_SPEC=2 -- --multimodal --breakdown
+run multimodal_fused2  BENCH_FUSED_SPEC=2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_fused1  BENCH_FUSED_SPEC=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_breakdown_fused2 BENCH_FUSED_SPEC=2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal --breakdown
 run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
 run multimodal_effnetv2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
 run convprobe          BENCH_DEVICE_TIMEOUT=120 -- --convprobe
@@ -42,8 +42,8 @@ run hostgather         BENCH_DEVICE_TIMEOUT=120 -- --hostgather
 run longeeg            BENCH_DEVICE_TIMEOUT=120 -- --longeeg
 run diffusion          BENCH_DEVICE_TIMEOUT=120 -- --diffusion
 run diffeeg_train      BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
-run diffeeg_train_bf16 BENCH_DIFF_BF16=1 -- --diffeeg-train
-run diffeeg_train_bf16_fuse5 BENCH_DIFF_BF16=1 BENCH_FUSE=5 -- --diffeeg-train
-run diffeeg_train_fuse5 BENCH_FUSE=5 -- --diffeeg-train
+run diffeeg_train_bf16 BENCH_DIFF_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
+run diffeeg_train_bf16_fuse5 BENCH_DIFF_BF16=1 BENCH_FUSE=5 BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
+run diffeeg_train_fuse5 BENCH_FUSE=5 BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
 
 echo "sweep done -> $OUT" >&2

@@ -380,6 +380,11 @@ def test_bench_watchdog_emits_machine_comparable_error_json():
     import sys
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
+    # conftest setdefault()s JAX_PLATFORMS=cpu into this process's env;
+    # inheriting it would route bench.py into its CPU smoke mode and skip
+    # the watchdog entirely — drop it so the subprocess takes the
+    # _require_device path this test exists to exercise
+    env.pop("JAX_PLATFORMS", None)
     env["BENCH_DEVICE_TIMEOUT"] = "0.0001"   # cannot win: jax import >> this
     proc = subprocess.run([sys.executable, "bench.py"], cwd=repo, env=env,
                           capture_output=True, text=True, timeout=120)

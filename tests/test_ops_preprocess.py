@@ -219,6 +219,27 @@ def test_spectrogram_chain_resample_mode_end_to_end(rng):
     assert not np.allclose(out, out_pad)
 
 
+def test_spectrogram_chain_resample_mode_repairs_nans_first(rng):
+    """NaN repair runs BEFORE the resample-mode resize: a NaN pixel (and a
+    whole-NaN row, common at recording boundaries) must stay local — not
+    smear through the dense resize matmuls' support bands into NaN output
+    rows."""
+    spec = rng.standard_normal((2, 400, 300)).astype(np.float32) * 5
+    spec[0, 37, 121] = np.nan                   # lone pixel
+    spec[1, 200, :] = np.nan                    # full row
+    sig = C.SignalConfig(image_size=(128, 96), resize_mode="resample")
+    out = np.asarray(ops.hms_spectrogram_preprocess(jnp.asarray(spec),
+                                                    signal=sig))
+    assert np.isfinite(out).all()
+    # repair-then-resize == resizing the pre-repaired plane
+    from multimodal_brain_pattern_identification_xai_tpu.ops import nanfix
+    fixed = np.asarray(nanfix.nan_to_channel_mean(jnp.asarray(spec),
+                                                  axis=-1))
+    want = np.asarray(ops.hms_spectrogram_preprocess(jnp.asarray(fixed),
+                                                     signal=sig))
+    np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6)
+
+
 def test_spectrogram_chain_rejects_bad_resize_mode(rng):
     spec = jnp.asarray(rng.standard_normal((1, 40, 30)), jnp.float32)
     with pytest.raises(ValueError, match="resize_mode"):

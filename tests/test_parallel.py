@@ -350,8 +350,9 @@ def test_parallel_step_nan_sentinel_skips_update(rng):
 # ---------------------------------------------------------------------------
 # __graft_entry__ driver hardening: the multichip dryrun must NEVER hang on
 # a dead device tunnel (MULTICHIP_r03 rc=124).  jax.devices() blocks forever
-# when the backend transport is down, so the entry probes it on a watchdog
-# thread and fails over to the CPU-subprocess path.
+# when the backend transport is down, so the entry probes it in a killable
+# subprocess (no thread left blocked inside PJRT init in the driver's own
+# process) and fails over to the CPU-subprocess payload path.
 # ---------------------------------------------------------------------------
 
 def _load_graft_entry():
@@ -365,31 +366,38 @@ def _load_graft_entry():
     return mod
 
 
+_HANG_PROBE = "import time; time.sleep(3600)"
+
+
 def test_probe_device_count_times_out_on_hung_backend(monkeypatch):
-    """When jax.devices() blocks (tunnel down), the watchdog probe must
-    return -1 within its timeout instead of hanging the driver."""
+    """When the probe's jax.devices() blocks (tunnel down), the killable
+    subprocess probe must return -1 within its timeout — and leave nothing
+    blocked behind in this process."""
     import time
     ge = _load_graft_entry()
-
-    def hang():
-        time.sleep(3600)
-
-    monkeypatch.setattr(jax, "devices", hang)
+    monkeypatch.setattr(ge, "_PROBE_CODE", _HANG_PROBE)
     t0 = time.perf_counter()
     assert ge._probe_device_count(timeout_s=0.5) == -1
     assert time.perf_counter() - t0 < 5.0
 
 
+def test_probe_device_count_reads_live_backend(monkeypatch):
+    """With a healthy backend the probe reports its real device count (the
+    in-process fast path's precondition).  Forced to the CPU platform so
+    the test is deterministic regardless of tunnel state."""
+    ge = _load_graft_entry()
+    monkeypatch.setattr(
+        ge, "_PROBE_CODE",
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "print(len(jax.devices()))")
+    assert ge._probe_device_count(timeout_s=300.0) >= 1
+
+
 def test_dryrun_fails_over_to_subprocess_on_hung_probe(monkeypatch):
     """dryrun_multichip must take the CPU-subprocess path when the backend
     probe times out — the subprocess needs zero TPU hardware."""
-    import time
     ge = _load_graft_entry()
-
-    def hang():
-        time.sleep(3600)
-
-    monkeypatch.setattr(jax, "devices", hang)
+    monkeypatch.setattr(ge, "_PROBE_CODE", _HANG_PROBE)
     monkeypatch.setenv("DRYRUN_DEVICE_TIMEOUT", "0.5")
     calls = []
     monkeypatch.setattr(ge, "_dryrun_subprocess", calls.append)
@@ -401,13 +409,8 @@ def test_dryrun_fails_over_to_subprocess_on_hung_probe(monkeypatch):
 def test_dryrun_subprocess_completes_with_hung_backend(monkeypatch, capsys):
     """End-to-end: hung backend probe → real CPU subprocess runs the full
     DP×TP×SP payload to completion (the MULTICHIP artifact contract)."""
-    import time
     ge = _load_graft_entry()
-
-    def hang():
-        time.sleep(3600)
-
-    monkeypatch.setattr(jax, "devices", hang)
+    monkeypatch.setattr(ge, "_PROBE_CODE", _HANG_PROBE)
     monkeypatch.setenv("DRYRUN_DEVICE_TIMEOUT", "0.5")
     ge.dryrun_multichip(2)
     assert "dryrun_multichip OK" in capsys.readouterr().out
