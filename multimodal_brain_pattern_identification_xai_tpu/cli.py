@@ -91,6 +91,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "commands this is the DDP-equivalent loop "
                         "(gradient psum inside the compiled step); on "
                         "`predict` it shards inference")
+    p.add_argument("--eval", action="store_true",
+                   help="predict: score the predictions against the rows' "
+                        "vote-aggregated labels (KL-div, hard/soft "
+                        "accuracy, macro PRF, confusion-matrix plot) — "
+                        "the reference's notebook eval cells")
     p.add_argument("--arch", default=None,
                    help="train-eeg/train-spectrogram: zoo model to "
                         "pretrain (registry name, e.g. eegnet_residual, "
@@ -941,11 +946,13 @@ def cmd_predict(args) -> int:
         sig = C.SignalConfig(fixed_length=600, image_size=(80, 60))
         raw_eeg = data.synthetic_raw_eeg(n, rng, n_points=2000)
         raw_spec = data.synthetic_raw_spectrogram(n, rng, shape=(80, 60))
+        y_demo = np.eye(6, dtype=np.float32)[rng.integers(0, 6, n)]
         ids = np.arange(n)
 
         def raw_batches():
             for s in range(0, n, bs):
-                yield {"eeg": raw_eeg[s:s + bs], "spec": raw_spec[s:s + bs]}
+                yield {"eeg": raw_eeg[s:s + bs], "spec": raw_spec[s:s + bs],
+                       "y": y_demo[s:s + bs]}
 
         mm = models.MultimodalModel(
             eeg_model=models.EEGNetAttentionRegularized(samples=600,
@@ -1006,7 +1013,7 @@ def cmd_predict(args) -> int:
         e, s = ops.preprocess_multimodal(eeg_raw, spec_raw, **pp_kwargs)
         return jnp.exp(mm.apply(variables, e, s))     # log-softmax → probs
 
-    probs = []
+    probs, ys = [], []
     for batch in raw_batches():
         eeg_b, spec_b = batch["eeg"], batch["spec"]
         pad = bs - len(eeg_b)
@@ -1016,6 +1023,8 @@ def cmd_predict(args) -> int:
                                      np.repeat(spec_b[-1:], pad, 0)])
         p = np.asarray(forward(put(eeg_b), put(spec_b)))
         probs.append(p[:len(p) - pad] if pad else p)
+        if args.eval:
+            ys.append(np.asarray(batch["y"]))
     probs = np.concatenate(probs)[:n]
 
     import pandas as pd
@@ -1026,6 +1035,29 @@ def cmd_predict(args) -> int:
     df.to_csv(out, index=False)
     print(f"wrote {len(df)} predictions → {out}")
     print(df["predicted_class"].value_counts().to_string())
+
+    if args.eval:
+        # the reference's notebook eval cells (XAI_Multimodality.py:
+        # 1901-1935 no-grad soft predictions + training_utils.py:178-241
+        # metric registry + data_utils.py:536-599 confusion matrix)
+        from . import utils
+        y = np.concatenate(ys)[:n]
+        logp = jnp.log(jnp.clip(jnp.asarray(probs), 1e-12, 1.0))
+        yj = jnp.asarray(y)
+        kld = float(train.kldiv_with_log_probs(logp, yj))
+        acc = float(train.hard_accuracy(logp, yj))
+        soft = float(train.soft_accuracy(logp, yj))
+        pred_c = jnp.argmax(logp, -1)
+        true_c = jnp.argmax(yj, -1)
+        prec, rec, f1 = (float(v) for v in
+                         train.macro_precision_recall_f1(pred_c, true_c, 6))
+        cm = train.confusion_matrix(pred_c, true_c, 6)
+        path = utils.plot_confusion_matrix(np.asarray(cm), C.CLASSES,
+                                           args.ckpt_dir)
+        print(f"eval over {n} rows: kldiv {kld:.4f}  acc {acc:.3f}  "
+              f"soft-acc {soft:.3f}  macro P/R/F1 "
+              f"{prec:.3f}/{rec:.3f}/{f1:.3f}")
+        print(f"confusion matrix → {path}")
     return 0
 
 

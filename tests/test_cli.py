@@ -48,6 +48,19 @@ def test_cli_predict_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_predict_eval_demo(tmp_path):
+    """predict --eval: the reference's notebook eval — KL-div, hard/soft
+    accuracy, macro PRF and a confusion-matrix plot against the rows'
+    labels."""
+    r = _run(["predict", "--demo", "--eval", "--ckpt-dir", str(tmp_path)],
+             tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "eval over 12 rows: kldiv" in r.stdout
+    assert "macro P/R/F1" in r.stdout
+    assert os.path.exists(tmp_path / "confusion_matrix.png")
+
+
+@pytest.mark.slow
 def test_cli_predict_fused_spec_matches_unfused(tmp_path):
     """predict --fused-spec 2 (phase-packed Pallas spec blocks) produces
     the same predictions as the standard path — same fresh-init params
