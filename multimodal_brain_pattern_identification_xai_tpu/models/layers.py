@@ -51,6 +51,33 @@ def avg_pool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
     return nn.avg_pool(x, window, strides=window, padding="VALID")
 
 
+def _lerp_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
+    """2-tap linear interpolation at half-pixel centers along one axis
+    (torch align_corners=False, NO anti-alias filter)."""
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    pos = jnp.clip((jnp.arange(n_out) + 0.5) * (n_in / n_out) - 0.5,
+                   0.0, n_in - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    w = (pos - lo).astype(x.dtype).reshape(shape)
+    return (jnp.take(x, lo, axis=axis) * (1.0 - w)
+            + jnp.take(x, hi, axis=axis) * w)
+
+
+def bilinear_interpolate_nhwc(x: jnp.ndarray,
+                              size: Tuple[int, int]) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='bilinear', align_corners=False)`` on an
+    NHWC tensor — a separable 2-tap lerp per axis.  NOT
+    ``jax.image.resize``: that applies an anti-aliasing prefilter when
+    downscaling, which torch's default (antialias=False) does not — the
+    two visibly diverge on every 2× downsample."""
+    return _lerp_axis(_lerp_axis(x, size[0], 1), size[1], 2)
+
+
 def max_pool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
     return nn.max_pool(x, window, strides=window, padding="VALID")
 
@@ -160,9 +187,10 @@ class SpectrogramBlock(nn.Module):
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         if identity.shape != x.shape:
-            identity = jax.image.resize(
-                identity, identity.shape[:1] + x.shape[1:3] + identity.shape[3:],
-                method="bilinear")  # align_corners=False semantics
+            # torch-exact skip resize (models.py:73-74 F.interpolate
+            # bilinear, align_corners=False): 2-tap lerp, no anti-alias —
+            # jax.image.resize prefilters downscales and diverges
+            identity = bilinear_interpolate_nhwc(identity, x.shape[1:3])
             identity = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                                name="conv1x1")(identity)
         return x + identity

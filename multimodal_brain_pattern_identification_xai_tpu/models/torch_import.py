@@ -108,8 +108,17 @@ def load_torch_eegnet_state_dict(state_dict: Dict[str, Any],
     """
     import flax
     v = flax.core.unfreeze(flax_variables)
-    p, s = v["params"]["stem"], v["batch_stats"]["stem"]
+    _map_eegnet_stem(v["params"]["stem"], v["batch_stats"]["stem"],
+                     state_dict, f1, d)
+    v["params"]["dense"]["kernel"] = _t(state_dict["dense.weight"]).T
+    v["params"]["dense"]["bias"] = _t(state_dict["dense.bias"])
+    return v
 
+
+def _map_eegnet_stem(p: Dict[str, Any], s: Dict[str, Any],
+                     state_dict: Dict[str, Any], f1: int, d: int) -> None:
+    """Copy the shared EEGNet stem (conv1/batchnorm1/depthwiseConv/
+    batchnorm2/separableConv/batchnorm3) in place."""
     p["conv1"]["kernel"] = _conv_oihw(state_dict["conv1.weight"])
     _bn(p["bn1"], s["bn1"], state_dict, "batchnorm1")
     # torch depthwise (F1·D, 1, Chans, 1), groups=F1, out index g·D+d
@@ -119,8 +128,98 @@ def load_torch_eegnet_state_dict(state_dict: Dict[str, Any],
     _bn(p["bn2"], s["bn2"], state_dict, "batchnorm2")
     p["separableConv"]["kernel"] = _conv_oihw(state_dict["separableConv.weight"])
     _bn(p["BatchNorm_0"], s["BatchNorm_0"], state_dict, "batchnorm3")
-    v["params"]["dense"]["kernel"] = _t(state_dict["dense.weight"]).T
-    v["params"]["dense"]["bias"] = _t(state_dict["dense.bias"])
+
+
+def _dense(p: Dict[str, Any], state_dict: Dict[str, Any], src: str) -> None:
+    """Copy one torch Linear (weight transposed to flax kernel) in place."""
+    p["kernel"] = _t(state_dict[f"{src}.weight"]).T
+    p["bias"] = _t(state_dict[f"{src}.bias"])
+
+
+def load_torch_eegnet_attention_state_dict(state_dict: Dict[str, Any],
+                                           flax_variables: Dict[str, Any],
+                                           f1: int = 8, d: int = 2
+                                           ) -> Dict[str, Any]:
+    """Map a reference-trained torch ``EEGNetAttentionRegularized`` state
+    dict (XAI_Multimodality.py:990-1076: the EEGNet stem + single-head
+    attention ``attention_layer.{query,key,value}`` + ``dense1``/``dense2``)
+    onto :class:`..models.eegnet.EEGNetAttentionRegularized` variables.
+    Eval-mode log-probs match torch exactly (pinned by
+    tests/test_models.py)."""
+    import flax
+    v = flax.core.unfreeze(flax_variables)
+    _map_eegnet_stem(v["params"]["stem"], v["batch_stats"]["stem"],
+                     state_dict, f1, d)
+    att = v["params"]["attention_layer"]
+    for name in ("query", "key", "value"):
+        _dense(att[name], state_dict, f"attention_layer.{name}")
+    _dense(v["params"]["dense1"], state_dict, "dense1")
+    _dense(v["params"]["dense2"], state_dict, "dense2")
+    return v
+
+
+def load_torch_speccnn_state_dict(state_dict: Dict[str, Any],
+                                  flax_variables: Dict[str, Any],
+                                  n_blocks: int = 5) -> Dict[str, Any]:
+    """Map a reference-trained torch ``Spectrogram_Model`` state dict
+    (models.py:42-107: five Blocks of conv1-3 + bn + conv1x1 skip, then
+    ``fc``) onto :class:`..models.speccnn.SpectrogramCNN` variables.
+
+    Works for both the standard and the ``fused_blocks=N`` serving model —
+    the fused blocks' parameter shells mirror ``nn.Conv`` names/shapes.
+    Eval-mode log-probs match torch exactly (the skip path's
+    ``jax.image.resize(..., "bilinear")`` is ``F.interpolate(...,
+    align_corners=False)`` — both use half-pixel centers)."""
+    import flax
+    v = flax.core.unfreeze(flax_variables)
+    for i in range(n_blocks):
+        blk, src = f"block{i+1}", f"block{i+1}"
+        p, s = v["params"][blk], v["batch_stats"][blk]
+        for j in range(3):
+            p[f"conv{j+1}"]["kernel"] = _conv_oihw(
+                state_dict[f"{src}.conv{j+1}.weight"])
+            p[f"conv{j+1}"]["bias"] = _t(state_dict[f"{src}.conv{j+1}.bias"])
+        _bn(p["BatchNorm_0"], s["BatchNorm_0"], state_dict, f"{src}.bn")
+        p["conv1x1"]["kernel"] = _conv_oihw(
+            state_dict[f"{src}.conv1x1.weight"])
+        p["conv1x1"]["bias"] = _t(state_dict[f"{src}.conv1x1.bias"])
+    _dense(v["params"]["fc"], state_dict, "fc")
+    return v
+
+
+def load_torch_multimodal_state_dict(state_dict: Dict[str, Any],
+                                     flax_variables: Dict[str, Any],
+                                     f1: int = 8, d: int = 2
+                                     ) -> Dict[str, Any]:
+    """Map a reference-trained combined ``MultimodalModel`` state dict
+    (XAI_Multimodality.py:1082-1108: ``eeg_model.*`` =
+    EEGNetAttentionRegularized, ``spectrogram_model.*`` =
+    Spectrogram_Model, fusion head ``fc1``/``fc2``) onto
+    :class:`..models.fusion.MultimodalModel` variables — the one-call
+    "switch with your trained reference weights" path.  Eval-mode
+    log-probs match torch exactly (pinned by tests/test_models.py)."""
+    import flax
+
+    def sub(prefix):
+        n = len(prefix)
+        return {k[n:]: x for k, x in state_dict.items()
+                if k.startswith(prefix)}
+
+    v = flax.core.unfreeze(flax_variables)
+    ve = load_torch_eegnet_attention_state_dict(
+        sub("eeg_model."),
+        {"params": v["params"]["eeg_model"],
+         "batch_stats": v["batch_stats"]["eeg_model"]}, f1, d)
+    v["params"]["eeg_model"] = ve["params"]
+    v["batch_stats"]["eeg_model"] = ve["batch_stats"]
+    vs = load_torch_speccnn_state_dict(
+        sub("spectrogram_model."),
+        {"params": v["params"]["spectrogram_model"],
+         "batch_stats": v["batch_stats"]["spectrogram_model"]})
+    v["params"]["spectrogram_model"] = vs["params"]
+    v["batch_stats"]["spectrogram_model"] = vs["batch_stats"]
+    _dense(v["params"]["fc1"], state_dict, "fc1")
+    _dense(v["params"]["fc2"], state_dict, "fc2")
     return v
 
 

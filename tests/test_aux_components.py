@@ -113,6 +113,68 @@ def test_torch_eegnet_import_logit_parity(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_torch_eegnet_attention_import_logit_parity(rng):
+    """EEGNetAttentionRegularized (the multimodal EEG branch,
+    XAI_Multimodality.py:990-1076) imported from a reference-layout torch
+    state dict reproduces the torch eval log-probs."""
+    torch = __import__("torch")
+    from torch_ref import make_torch_eegnet_attention
+    chans, samples = 37, 480
+    sd, torch_forward = make_torch_eegnet_attention(seed=3, samples=samples)
+    model = models.EEGNetAttentionRegularized(samples=samples)
+    x = rng.standard_normal((3, 1, chans, samples)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v2 = models.load_torch_eegnet_attention_state_dict(sd, variables)
+    got = np.asarray(model.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+        jnp.asarray(x)))
+    want = torch_forward(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_torch_speccnn_import_logit_parity(rng):
+    """Spectrogram_Model (models.py:42-107) imported from a
+    reference-layout torch state dict reproduces the torch eval log-probs
+    (incl. the bilinear-resized conv1x1 skip path)."""
+    torch = __import__("torch")
+    from torch_ref import make_torch_speccnn
+    sd, torch_forward = make_torch_speccnn(seed=4)
+    model = models.SpectrogramCNN()
+    x = rng.standard_normal((2, 3, 64, 48)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v2 = models.load_torch_speccnn_state_dict(sd, variables)
+    got = np.asarray(model.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+        jnp.asarray(x)))
+    want = torch_forward(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_torch_multimodal_import_logit_parity(rng):
+    """The combined MultimodalModel (XAI_Multimodality.py:1082-1108) —
+    both branches + fusion head in ONE reference-layout state dict —
+    reproduces the torch eval log-probs: a reference user's trained
+    combined checkpoint switches over in one call."""
+    torch = __import__("torch")
+    from torch_ref import make_torch_multimodal
+    samples = 480
+    sd, torch_forward = make_torch_multimodal(seed=5, samples=samples)
+    mm = models.MultimodalModel(
+        eeg_model=models.EEGNetAttentionRegularized(samples=samples),
+        spectrogram_model=models.SpectrogramCNN())
+    eeg = rng.standard_normal((2, 1, 37, samples)).astype(np.float32)
+    spec = rng.standard_normal((2, 3, 64, 48)).astype(np.float32)
+    variables = mm.init(jax.random.PRNGKey(0), jnp.asarray(eeg),
+                        jnp.asarray(spec))
+    v2 = models.load_torch_multimodal_state_dict(sd, variables)
+    got = np.asarray(mm.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+        jnp.asarray(eeg), jnp.asarray(spec)))
+    want = torch_forward(torch.from_numpy(eeg),
+                         torch.from_numpy(spec)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_torch_efficientnet_import_logit_parity(rng):
     """A fabricated torchvision-efficientnet_b0-layout state dict, imported

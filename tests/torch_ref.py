@@ -1,6 +1,14 @@
-"""Fabricated reference-style torch EEGNet (models.py:239-289 layout),
-built functionally so torch autograd flows through it — shared by the
-logit-parity import test and the attribution-fidelity golden tests."""
+"""Fabricated reference-style torch models (models.py layouts), built
+functionally so torch autograd flows through them — shared by the
+logit-parity import tests and the attribution-fidelity golden tests.
+
+``make_torch_eegnet``              plain EEGNet (models.py:239-289)
+``make_torch_eegnet_attention``    EEGNetAttentionRegularized
+                                   (XAI_Multimodality.py:990-1076)
+``make_torch_speccnn``             Spectrogram_Model (models.py:42-107)
+``make_torch_multimodal``          MultimodalModel
+                                   (XAI_Multimodality.py:1082-1108)
+"""
 
 from __future__ import annotations
 
@@ -40,6 +48,148 @@ def make_torch_eegnet(seed: int = 0, f1: int = 8, d: int = 2, f2: int = 16,
                "batchnorm3")
         x = F.avg_pool2d(F.elu(x), (1, 8))
         x = F.linear(x.flatten(1), sd["dense.weight"], sd["dense.bias"])
+        return F.log_softmax(x, dim=1)
+
+    return sd, torch_forward
+
+
+def make_torch_eegnet_attention(seed: int = 0, f1: int = 8, d: int = 2,
+                                f2: int = 16, chans: int = 37,
+                                samples: int = 480):
+    """(state_dict, forward) for the notebook's EEGNetAttentionRegularized
+    (XAI_Multimodality.py:990-1076): the plain-EEGNet stem, a single-head
+    scaled-dot attention over the time tokens, then dense1(128)→dense2(6)
+    →LogSoftmax (no activation between the denses — :1069-1073)."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    g = torch.Generator().manual_seed(seed)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.3
+    t_len = samples // 32
+    sd = {
+        "conv1.weight": rn(f1, 1, 1, 64),
+        "depthwiseConv.weight": rn(f1 * d, 1, chans, 1),
+        "separableConv.weight": rn(f2, f1 * d, 1, 16),
+        "attention_layer.query.weight": rn(f2, f2),
+        "attention_layer.query.bias": rn(f2),
+        "attention_layer.key.weight": rn(f2, f2),
+        "attention_layer.key.bias": rn(f2),
+        "attention_layer.value.weight": rn(f2, f2),
+        "attention_layer.value.bias": rn(f2),
+        "dense1.weight": rn(128, f2 * t_len),
+        "dense1.bias": rn(128),
+        "dense2.weight": rn(6, 128),
+        "dense2.bias": rn(6),
+    }
+    for bn, c in (("batchnorm1", f1), ("batchnorm2", f1 * d),
+                  ("batchnorm3", f2)):
+        sd[f"{bn}.weight"] = rn(c)
+        sd[f"{bn}.bias"] = rn(c)
+        sd[f"{bn}.running_mean"] = rn(c) * 0.1
+        sd[f"{bn}.running_var"] = torch.rand(c, generator=g) + 0.5
+
+    def torch_forward(x):
+        bn = lambda t, n: F.batch_norm(
+            t, sd[f"{n}.running_mean"], sd[f"{n}.running_var"],
+            sd[f"{n}.weight"], sd[f"{n}.bias"], training=False, eps=1e-5)
+        x = bn(F.conv2d(x, sd["conv1.weight"], padding="same"), "batchnorm1")
+        x = bn(F.conv2d(x, sd["depthwiseConv.weight"], groups=f1),
+               "batchnorm2")
+        x = F.avg_pool2d(F.elu(x), (1, 4))
+        x = bn(F.conv2d(x, sd["separableConv.weight"], padding="same"),
+               "batchnorm3")
+        x = F.avg_pool2d(F.elu(x), (1, 8))
+        b, c, h, w = x.shape
+        t = x.flatten(2).permute(0, 2, 1)                  # (B, L, F2)
+        q = F.linear(t, sd["attention_layer.query.weight"],
+                     sd["attention_layer.query.bias"])
+        k = F.linear(t, sd["attention_layer.key.weight"],
+                     sd["attention_layer.key.bias"])
+        v = F.linear(t, sd["attention_layer.value.weight"],
+                     sd["attention_layer.value.bias"])
+        w_att = F.softmax(q @ k.transpose(-2, -1) * f2 ** -0.5, dim=-1)
+        x = (w_att @ v).permute(0, 2, 1).reshape(b, c, h, w)
+        x = F.linear(x.flatten(1), sd["dense1.weight"], sd["dense1.bias"])
+        x = F.linear(x, sd["dense2.weight"], sd["dense2.bias"])
+        return F.log_softmax(x, dim=1)
+
+    return sd, torch_forward
+
+
+def make_torch_speccnn(seed: int = 0, widths=(16, 32, 64, 128, 256)):
+    """(state_dict, forward) for the reference Spectrogram_Model
+    (models.py:42-107): five Blocks (3×conv3x3+ReLU → pool → BN → skip via
+    bilinear interpolate + conv1x1) → GAP → fc → LogSoftmax."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    g = torch.Generator().manual_seed(seed)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.15
+    pools = ("max", "avg", "max", "avg", "max")
+    sd = {}
+    cin = 3
+    for i, co in enumerate(widths):
+        p = f"block{i+1}"
+        for j in range(3):
+            sd[f"{p}.conv{j+1}.weight"] = rn(co, cin if j == 0 else co, 3, 3)
+            sd[f"{p}.conv{j+1}.bias"] = rn(co)
+        sd[f"{p}.bn.weight"] = rn(co)
+        sd[f"{p}.bn.bias"] = rn(co)
+        sd[f"{p}.bn.running_mean"] = rn(co) * 0.1
+        sd[f"{p}.bn.running_var"] = torch.rand(co, generator=g) + 0.5
+        sd[f"{p}.conv1x1.weight"] = rn(co, cin, 1, 1)
+        sd[f"{p}.conv1x1.bias"] = rn(co)
+        cin = co
+    sd["fc.weight"] = rn(6, widths[-1])
+    sd["fc.bias"] = rn(6)
+
+    def torch_forward(x):
+        for i in range(len(widths)):
+            p = f"block{i+1}"
+            identity = x
+            for j in range(3):
+                x = F.relu(F.conv2d(x, sd[f"{p}.conv{j+1}.weight"],
+                                    sd[f"{p}.conv{j+1}.bias"], padding=1))
+            x = (F.max_pool2d(x, 2) if pools[i] == "max"
+                 else F.avg_pool2d(x, 2))
+            x = F.batch_norm(x, sd[f"{p}.bn.running_mean"],
+                             sd[f"{p}.bn.running_var"], sd[f"{p}.bn.weight"],
+                             sd[f"{p}.bn.bias"], training=False, eps=1e-5)
+            if identity.shape != x.shape:
+                identity = F.interpolate(identity, size=x.shape[2:],
+                                         mode="bilinear",
+                                         align_corners=False)
+                identity = F.conv2d(identity, sd[f"{p}.conv1x1.weight"],
+                                    sd[f"{p}.conv1x1.bias"])
+            x = x + identity
+        x = F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+        x = F.linear(x, sd["fc.weight"], sd["fc.bias"])
+        return F.log_softmax(x, dim=1)
+
+    return sd, torch_forward
+
+
+def make_torch_multimodal(seed: int = 0, samples: int = 480):
+    """(state_dict, forward) for the notebook's combined MultimodalModel
+    (XAI_Multimodality.py:1082-1108): concat the two branches' 6-dim
+    log-prob outputs → ReLU(fc1: 12→128) → fc2 → LogSoftmax.  Branch state
+    dicts are nested under the reference's ``eeg_model.`` /
+    ``spectrogram_model.`` prefixes."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    g = torch.Generator().manual_seed(seed + 99)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.3
+    eeg_sd, eeg_fwd = make_torch_eegnet_attention(seed, samples=samples)
+    spec_sd, spec_fwd = make_torch_speccnn(seed + 1)
+    sd = {f"eeg_model.{k}": v for k, v in eeg_sd.items()}
+    sd.update({f"spectrogram_model.{k}": v for k, v in spec_sd.items()})
+    sd["fc1.weight"] = rn(128, 12)
+    sd["fc1.bias"] = rn(128)
+    sd["fc2.weight"] = rn(6, 128)
+    sd["fc2.bias"] = rn(6)
+
+    def torch_forward(eeg, spec):
+        combined = torch.cat((eeg_fwd(eeg), spec_fwd(spec)), dim=1)
+        x = F.relu(F.linear(combined, sd["fc1.weight"], sd["fc1.bias"]))
+        x = F.linear(x, sd["fc2.weight"], sd["fc2.bias"])
         return F.log_softmax(x, dim=1)
 
     return sd, torch_forward
