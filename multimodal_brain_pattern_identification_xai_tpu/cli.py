@@ -91,6 +91,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "commands this is the DDP-equivalent loop "
                         "(gradient psum inside the compiled step); on "
                         "`predict` it shards inference")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="predict/xai: load a reference-trained torch "
+                        "combined-MultimodalModel state dict (.pt) instead "
+                        "of a train-multimodal checkpoint — exact-logit "
+                        "import of both branches + fusion head")
     p.add_argument("--eval", action="store_true",
                    help="predict: score the predictions against the rows' "
                         "vote-aggregated labels (KL-div, hard/soft "
@@ -416,6 +421,24 @@ def cmd_train_multimodal(args) -> int:
     if lime_every:
         print(f"lime snapshots: {len(callbacks[0].results)}")
     return 0
+
+
+def _load_torch_multimodal(path: str, variables: dict) -> dict:
+    """Load a reference-trained torch combined-MultimodalModel state dict
+    (.pt) and map it onto the flax variables (exact-logit import — see
+    models.load_torch_multimodal_state_dict).  Accepts a bare state dict
+    or the common ``{"model": sd}`` / ``{"state_dict": sd}`` wrappers."""
+    import torch
+    from . import models
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "fc1.weight" not in sd:
+        for key in ("model", "state_dict", "model_state_dict"):
+            if key in sd:
+                sd = sd[key]
+                break
+    v = models.load_torch_multimodal_state_dict(sd, variables)
+    print(f"imported torch multimodal checkpoint: {path}")
+    return {"params": v["params"], "batch_stats": v["batch_stats"]}
 
 
 def _init_from_branches(state, mm, first, init_dir: str, lr: float):
@@ -783,14 +806,17 @@ def cmd_xai(args) -> int:
         y_in = np.eye(6, dtype=np.float32)[np.arange(8) % 6]
         y_bg = np.eye(6, dtype=np.float32)[np.arange(32) % 6]
         mm = models.MultimodalModel(
-            eeg_model=models.EEGNetAttentionRegularized(samples=600,
-                                                        kern_length=16),
+            eeg_model=models.EEGNetAttentionRegularized(
+                samples=600,
+                kern_length=64 if args.torch_ckpt else 16),
             spectrogram_model=models.SpectrogramCNN(
                 fused_blocks=args.fused_spec))
         variables = mm.init(jax.random.PRNGKey(args.seed), eeg_in[:2],
                             spec_in[:2])
         variables = {"params": variables["params"],
                      "batch_stats": variables["batch_stats"]}
+        if args.torch_ckpt:
+            variables = _load_torch_multimodal(args.torch_ckpt, variables)
     else:
         cfg = _load_cfg(args)
         src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
@@ -824,16 +850,21 @@ def cmd_xai(args) -> int:
             apply_fn=mm.apply, params=v0["params"],
             tx=train.state.make_optimizer(cfg.trainer.lr),
             batch_stats=v0.get("batch_stats"))
-        ckpt = train.CheckpointManager(f"{args.ckpt_dir}/multimodal")
-        try:
-            state = ckpt.load_best(state)
-            print("restored best multimodal checkpoint")
-        except Exception as e:                        # noqa: BLE001
-            print(f"no checkpoint restored ({type(e).__name__}); "
-                  "using fresh init — train with `train-multimodal` first "
-                  "for meaningful attributions")
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        if args.torch_ckpt:
+            variables = _load_torch_multimodal(
+                args.torch_ckpt, {"params": state.params,
+                                  "batch_stats": state.batch_stats})
+        else:
+            ckpt = train.CheckpointManager(f"{args.ckpt_dir}/multimodal")
+            try:
+                state = ckpt.load_best(state)
+                print("restored best multimodal checkpoint")
+            except Exception as e:                        # noqa: BLE001
+                print(f"no checkpoint restored ({type(e).__name__}); "
+                      "using fresh init — train with `train-multimodal` "
+                      "first for meaningful attributions")
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
     fwd = lambda e, s: mm.apply(variables, e, s)
 
     ge, gs = xai.multimodal_saliency(fwd, eeg_in, spec_in)
@@ -955,8 +986,10 @@ def cmd_predict(args) -> int:
                        "y": y_demo[s:s + bs]}
 
         mm = models.MultimodalModel(
-            eeg_model=models.EEGNetAttentionRegularized(samples=600,
-                                                        kern_length=16),
+            eeg_model=models.EEGNetAttentionRegularized(
+                samples=600,
+                # the reference layout's 64-tap conv1 when importing
+                kern_length=64 if args.torch_ckpt else 16),
             spectrogram_model=models.SpectrogramCNN(
                 fused_blocks=args.fused_spec))
         eeg0, spec0 = ops.preprocess_multimodal(raw_eeg[:2], raw_spec[:2],
@@ -964,6 +997,8 @@ def cmd_predict(args) -> int:
         v0 = mm.init(jax.random.PRNGKey(args.seed), eeg0, spec0)
         variables = {"params": v0["params"],
                      "batch_stats": v0["batch_stats"]}
+        if args.torch_ckpt:
+            variables = _load_torch_multimodal(args.torch_ckpt, variables)
         pp_kwargs = dict(signal=sig)
     else:
         src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
@@ -985,21 +1020,26 @@ def cmd_predict(args) -> int:
             jnp.asarray(b0["eeg"]), jnp.asarray(b0["spec"]),
             assume_finite=True)
         v0 = mm.init(jax.random.PRNGKey(args.seed), eeg0, spec0)
-        state = train.TrainState.create(
-            apply_fn=mm.apply, params=v0["params"],
-            tx=train.state.make_optimizer(cfg.trainer.lr),
-            batch_stats=v0.get("batch_stats"))
-        try:
-            state = train.CheckpointManager(
-                f"{args.ckpt_dir}/multimodal").load_best(state)
-            print("restored best multimodal checkpoint")
-        except Exception as e:                        # noqa: BLE001
-            print(f"error: no multimodal checkpoint under "
-                  f"{args.ckpt_dir}/multimodal ({type(e).__name__}) — "
-                  "run train-multimodal first")
-            return 1
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        if args.torch_ckpt:
+            variables = _load_torch_multimodal(
+                args.torch_ckpt, {"params": v0["params"],
+                                  "batch_stats": v0["batch_stats"]})
+        else:
+            state = train.TrainState.create(
+                apply_fn=mm.apply, params=v0["params"],
+                tx=train.state.make_optimizer(cfg.trainer.lr),
+                batch_stats=v0.get("batch_stats"))
+            try:
+                state = train.CheckpointManager(
+                    f"{args.ckpt_dir}/multimodal").load_best(state)
+                print("restored best multimodal checkpoint")
+            except Exception as e:                        # noqa: BLE001
+                print(f"error: no multimodal checkpoint under "
+                      f"{args.ckpt_dir}/multimodal ({type(e).__name__}) — "
+                      "run train-multimodal first")
+                return 1
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
         pp_kwargs = dict(assume_finite=True)
 
     put = jnp.asarray

@@ -61,6 +61,25 @@ def test_cli_predict_eval_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_predict_torch_ckpt_demo(tmp_path):
+    """predict --torch-ckpt: a reference-layout combined torch state dict
+    (.pt) is imported (both branches + fusion head) and served — the
+    one-command switch for a reference user's trained weights."""
+    torch = __import__("torch")
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_ref import make_torch_multimodal
+    sd, _ = make_torch_multimodal(seed=7, samples=600)
+    pt = tmp_path / "combined.pt"
+    torch.save(sd, str(pt))
+    r = _run(["predict", "--demo", "--eval", "--torch-ckpt", str(pt),
+              "--ckpt-dir", str(tmp_path)], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "imported torch multimodal checkpoint" in r.stdout
+    assert "eval over 12 rows: kldiv" in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_predict_fused_spec_matches_unfused(tmp_path):
     """predict --fused-spec 2 (phase-packed Pallas spec blocks) produces
     the same predictions as the standard path — same fresh-init params
