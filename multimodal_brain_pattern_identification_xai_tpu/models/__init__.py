@@ -16,7 +16,8 @@ from .efficientnet import EfficientNetB0, EfficientNetV2B2  # noqa: F401
 from .fusion import MultimodalModel  # noqa: F401
 from .speccnn import SpectrogramCNN  # noqa: F401
 from .vit import SpectrogramViT  # noqa: F401
-from .torch_import import (load_torch_eegnet_state_dict,  # noqa: F401
+from .torch_import import (load_torch_diffeeg_state_dict,  # noqa: F401
+                           load_torch_eegnet_state_dict,
                            load_torch_eegnet_attention_state_dict,
                            load_torch_efficientnet_state_dict,
                            load_torch_multimodal_state_dict,

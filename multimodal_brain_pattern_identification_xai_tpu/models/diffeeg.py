@@ -181,8 +181,13 @@ class DiffEEG(nn.Module):
         self.step_mlp_4 = nn.Dense(H, dtype=dt, name="step_mlp_4")
         self.class_embedding = nn.Embed(self.n_classes, H, dtype=dt,
                                         name="class_embedding")
+        # flax padding ((1,1),(0,0)) + a spatially-flipped kernel is the
+        # EXACT equivalent of the reference's torch ConvTranspose2d(
+        # stride=(1,8), padding=(1,2)) (diffEEG.py:47-53) — verified
+        # value-for-value in tests; the previous ((1,1),(2,2)) produced a
+        # flattened length of 8·Ts−5 where torch yields 8·Ts−9
         self.spectrogram_upsample1 = nn.ConvTranspose(
-            H // 2, (3, 3), strides=(1, 8), padding=((1, 1), (2, 2)),
+            H // 2, (3, 3), strides=(1, 8), padding=((1, 1), (0, 0)),
             dtype=dt, name="spectrogram_upsample1")
         self.channel_expand = nn.Conv(H, (1,), dtype=dt,
                                       name="channel_expand")

@@ -167,9 +167,9 @@ def load_torch_speccnn_state_dict(state_dict: Dict[str, Any],
 
     Works for both the standard and the ``fused_blocks=N`` serving model —
     the fused blocks' parameter shells mirror ``nn.Conv`` names/shapes.
-    Eval-mode log-probs match torch exactly (the skip path's
-    ``jax.image.resize(..., "bilinear")`` is ``F.interpolate(...,
-    align_corners=False)`` — both use half-pixel centers)."""
+    Eval-mode log-probs match torch exactly (the skip path uses the 2-tap
+    half-pixel lerp of ``F.interpolate(..., align_corners=False)``, no
+    anti-alias prefilter — see ``models.layers.bilinear_interpolate_nhwc``)."""
     import flax
     v = flax.core.unfreeze(flax_variables)
     for i in range(n_blocks):
@@ -278,4 +278,59 @@ def load_torch_efficientnet_state_dict(state_dict: Dict[str, Any],
     if head_w.shape[0] == p["classifier"]["kernel"].shape[1]:
         p["classifier"]["kernel"] = head_w.T
         p["classifier"]["bias"] = _t(state_dict["classifier.1.bias"])
+    return v
+
+
+def _conv1d(p: Dict[str, Any], state_dict: Dict[str, Any], src: str) -> None:
+    """Copy one torch Conv1d (weight (O, I, k) → flax kernel (k, I, O))."""
+    p["kernel"] = _t(state_dict[f"{src}.weight"]).transpose(2, 1, 0)
+    p["bias"] = _t(state_dict[f"{src}.bias"])
+
+
+def _gn(p: Dict[str, Any], state_dict: Dict[str, Any], src: str) -> None:
+    """Copy one torch GroupNorm affine."""
+    p["scale"] = _t(state_dict[f"{src}.weight"])
+    p["bias"] = _t(state_dict[f"{src}.bias"])
+
+
+def load_torch_diffeeg_state_dict(state_dict: Dict[str, Any],
+                                  flax_variables: Dict[str, Any]
+                                  ) -> Dict[str, Any]:
+    """Map a reference-trained torch ``DiffEEG`` denoiser state dict
+    (diffEEG.py:20-134 — the layout of the 502 shipped
+    ``exp_dump_path/model_*.pt`` checkpoints' ``model``/``ema`` entries)
+    onto :class:`..models.diffeeg.DiffEEG` variables.
+
+    The upsampler's torch ``ConvTranspose2d(stride=(1,8), padding=(1,2))``
+    equals the flax module's ``padding=((1,1),(0,0))`` with a spatially
+    FLIPPED kernel (flax pads ``k-1-p`` per side and does not flip);
+    1×1/k3 Conv1d weights transpose (O, I, k) → (k, I, O).  Eval-mode
+    outputs match torch exactly (pinned by tests/test_diffusion.py)."""
+    import flax
+    v = flax.core.unfreeze(flax_variables)
+    p = v["params"]
+    for i in (0, 2, 4):
+        _dense(p[f"step_mlp_{i}"], state_dict, f"step_embedding_mlp.{i}")
+    p["class_embedding"]["embedding"] = _t(
+        state_dict["class_embedding.weight"])
+    w = _t(state_dict["spectrogram_upsample1.weight"])     # (I, O, kh, kw)
+    p["spectrogram_upsample1"]["kernel"] = (
+        w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy())
+    p["spectrogram_upsample1"]["bias"] = _t(
+        state_dict["spectrogram_upsample1.bias"])
+    for name in ("channel_expand", "spectrogram_project", "input_conv",
+                 "skip_sum"):
+        _conv1d(p[name], state_dict, name)
+    _conv1d(p["gtu"]["conv1"], state_dict, "gtu.conv1")
+    _conv1d(p["gtu"]["conv2"], state_dict, "gtu.conv2")
+    for i in range(1, 5):
+        blk = p[f"res_block{i}"]
+        _conv1d(blk["conv_in"], state_dict, f"res_block{i}.0")
+        _conv1d(blk["conv_dil"], state_dict, f"res_block{i}.2")
+        _conv1d(blk["conv_out"], state_dict, f"res_block{i}.3")
+        _gn(blk["norm"], state_dict, f"res_block{i}.4")
+    _gn(p["layer_norm"], state_dict, "layer_norm")
+    _conv1d(p["final_0"], state_dict, "final_projection.0")
+    _gn(p["final_norm"], state_dict, "final_projection.2")
+    _conv1d(p["final_out"], state_dict, "final_projection.3")
     return v

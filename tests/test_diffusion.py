@@ -158,6 +158,36 @@ def test_linear_interpolate_time_matches_torch(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_torch_diffeeg_import_output_parity(rng):
+    """The live reference DiffEEG denoiser (diffEEG.py:20-134), imported
+    from a reference-layout torch state dict, reproduces the torch
+    eval-mode noise prediction exactly — incl. the ConvTranspose2d
+    (stride=(1,8), padding=(1,2)) conditioning upsampler mapped onto the
+    flax padding-((1,1),(0,0))+flipped-kernel equivalent, evaluated
+    through the gather-plan conditioning path."""
+    torch = __import__("torch")
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from torch_ref import make_torch_diffeeg
+    C, H, T = 4, 16, 64
+    sd, torch_forward = make_torch_diffeeg(seed=2, n_channels=C, hidden=H)
+    model = models.DiffEEG(n_channels=C, hidden=H)
+    x = rng.standard_normal((3, C, T)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 3)]
+    t = rng.integers(0, 50, 3).astype(np.float32)
+    spec = rng.standard_normal((3, C, 5, 6)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(y), jnp.asarray(t),
+                           jnp.asarray(spec))
+    v2 = models.load_torch_diffeeg_state_dict(sd, variables)
+    got = np.asarray(model.apply({"params": v2["params"]}, jnp.asarray(x),
+                                 jnp.asarray(y), jnp.asarray(t),
+                                 jnp.asarray(spec)))
+    want = torch_forward(torch.from_numpy(x), torch.from_numpy(y),
+                         torch.from_numpy(t), torch.from_numpy(spec)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_frechet_lowrank_matches_dense(rng):
     """The sample-space (nuclear-norm) Fréchet path equals the dense
     covariance path up to the dense path's eps ridge."""

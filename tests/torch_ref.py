@@ -193,3 +193,110 @@ def make_torch_multimodal(seed: int = 0, samples: int = 480):
         return F.log_softmax(x, dim=1)
 
     return sd, torch_forward
+
+
+def make_torch_diffeeg(seed: int = 0, n_channels: int = 4, hidden: int = 16,
+                       n_classes: int = 6):
+    """(state_dict, forward) for the live reference DiffEEG denoiser
+    (diffEEG.py:20-134): step-embedding MLP, class embedding, the
+    ConvTranspose2d(stride=(1,8), padding=(1,2)) spectrogram upsampler +
+    lerp + 1×1 convs + GTU conditioning, four dilated residual Sequentials
+    (NO residual add — diffEEG.py:125-129 chains them), skip-sum +
+    GroupNorm(1), final projection.  Eval mode (dropout off, no same-class
+    spectrogram recombination)."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    g = torch.Generator().manual_seed(seed)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.3
+    H, C = hidden, n_channels
+    sd = {
+        "class_embedding.weight": rn(n_classes, H),
+        "spectrogram_upsample1.weight": rn(C, H // 2, 3, 3),
+        "spectrogram_upsample1.bias": rn(H // 2),
+        "channel_expand.weight": rn(H, H // 2, 1),
+        "channel_expand.bias": rn(H),
+        "spectrogram_project.weight": rn(H, H, 1),
+        "spectrogram_project.bias": rn(H),
+        "gtu.conv1.weight": rn(H, H, 1), "gtu.conv1.bias": rn(H),
+        "gtu.conv2.weight": rn(H, H, 1), "gtu.conv2.bias": rn(H),
+        "input_conv.weight": rn(H, C, 1), "input_conv.bias": rn(H),
+        "skip_sum.weight": rn(H, H, 1), "skip_sum.bias": rn(H),
+        "layer_norm.weight": rn(H), "layer_norm.bias": rn(H),
+        "final_projection.0.weight": rn(H, H, 1),
+        "final_projection.0.bias": rn(H),
+        "final_projection.2.weight": rn(H),
+        "final_projection.2.bias": rn(H),
+        "final_projection.3.weight": rn(C, H, 1),
+        "final_projection.3.bias": rn(C),
+    }
+    for i in (0, 2, 4):
+        sd[f"step_embedding_mlp.{i}.weight"] = rn(H, H)
+        sd[f"step_embedding_mlp.{i}.bias"] = rn(H)
+    for r, dil in ((1, 1), (2, 2), (3, 4), (4, 8)):
+        sd[f"res_block{r}.0.weight"] = rn(H, H, 1)
+        sd[f"res_block{r}.0.bias"] = rn(H)
+        sd[f"res_block{r}.2.weight"] = rn(H, H, 3)
+        sd[f"res_block{r}.2.bias"] = rn(H)
+        sd[f"res_block{r}.3.weight"] = rn(H, H, 1)
+        sd[f"res_block{r}.3.bias"] = rn(H)
+        sd[f"res_block{r}.4.weight"] = rn(H)
+        sd[f"res_block{r}.4.bias"] = rn(H)
+
+    import numpy as _np
+
+    def torch_forward(x, y, t, spec):
+        B, _, T = x.shape
+        half = H // 2
+        emb = torch.exp(torch.arange(half)
+                        * (-_np.log(10000.0) / (half - 1)))
+        emb = t.view(-1, 1) * emb
+        se = torch.cat((emb.sin(), emb.cos()), dim=-1).view(-1, H)
+        se = F.linear(se, sd["step_embedding_mlp.0.weight"],
+                      sd["step_embedding_mlp.0.bias"]).sigmoid()
+        se = F.relu(F.linear(se, sd["step_embedding_mlp.2.weight"],
+                             sd["step_embedding_mlp.2.bias"]))
+        se = F.linear(se, sd["step_embedding_mlp.4.weight"],
+                      sd["step_embedding_mlp.4.bias"])
+        step_emb = se.unsqueeze(-1).expand(-1, -1, T)
+        labels = y.argmax(dim=1).long()
+        class_emb = sd["class_embedding.weight"][labels].unsqueeze(-1)
+
+        s = F.conv_transpose2d(spec, sd["spectrogram_upsample1.weight"],
+                               sd["spectrogram_upsample1.bias"],
+                               stride=(1, 8), padding=(1, 2))
+        s = F.relu(s).flatten(start_dim=2)
+        s = F.interpolate(s, size=T, mode="linear", align_corners=False)
+        s = F.conv1d(s, sd["channel_expand.weight"],
+                     sd["channel_expand.bias"])
+        s = F.conv1d(s, sd["spectrogram_project.weight"],
+                     sd["spectrogram_project.bias"])
+        s = (torch.tanh(F.conv1d(s, sd["gtu.conv1.weight"],
+                                 sd["gtu.conv1.bias"]))
+             * torch.sigmoid(F.conv1d(s, sd["gtu.conv2.weight"],
+                                      sd["gtu.conv2.bias"])))
+
+        h = (F.conv1d(x, sd["input_conv.weight"], sd["input_conv.bias"])
+             + step_emb + class_emb + s)
+        skips = []
+        for r, dil in ((1, 1), (2, 2), (3, 4), (4, 8)):
+            h = F.relu(F.conv1d(h, sd[f"res_block{r}.0.weight"],
+                                sd[f"res_block{r}.0.bias"]))
+            h = F.conv1d(h, sd[f"res_block{r}.2.weight"],
+                         sd[f"res_block{r}.2.bias"], padding=dil,
+                         dilation=dil)
+            h = F.conv1d(h, sd[f"res_block{r}.3.weight"],
+                         sd[f"res_block{r}.3.bias"])
+            h = F.group_norm(h, 1, sd[f"res_block{r}.4.weight"],
+                             sd[f"res_block{r}.4.bias"], eps=1e-5)
+            skips.append(h)
+        h = F.conv1d(sum(skips), sd["skip_sum.weight"], sd["skip_sum.bias"])
+        h = F.group_norm(h, 1, sd["layer_norm.weight"],
+                         sd["layer_norm.bias"], eps=1e-5)
+        h = F.relu(F.conv1d(h, sd["final_projection.0.weight"],
+                            sd["final_projection.0.bias"]))
+        h = F.group_norm(h, 1, sd["final_projection.2.weight"],
+                         sd["final_projection.2.bias"], eps=1e-5)
+        return F.conv1d(h, sd["final_projection.3.weight"],
+                        sd["final_projection.3.bias"])
+
+    return sd, torch_forward
