@@ -57,6 +57,15 @@ def _lerp_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
     n_in = x.shape[axis]
     if n_in == n_out:
         return x
+    if n_in == 2 * n_out:
+        # exact-half case: positions land at 2i+0.5 → the lerp is exactly
+        # the mean of each adjacent pair; a reshape-mean fuses cleanly
+        # instead of two gathers (this is every even-sized block of the
+        # spectrogram CNN skip path, incl. the big 400×300 early planes)
+        shape = list(x.shape)
+        shape[axis] = n_out
+        shape.insert(axis + 1, 2)
+        return x.reshape(shape).mean(axis=axis + 1)
     pos = jnp.clip((jnp.arange(n_out) + 0.5) * (n_in / n_out) - 0.5,
                    0.0, n_in - 1.0)
     lo = jnp.floor(pos).astype(jnp.int32)

@@ -211,3 +211,22 @@ def test_efficientnetv2_b2_topology():
     # timm efficientnetv2_b2 is 10.10M with a 1000-class head
     # (1408*1000+1000 = 1.409M); a 6-class head leaves ~8.70M ± rounding
     assert 8.4e6 < n_params < 9.1e6, n_params
+
+
+def test_bilinear_interpolate_matches_torch(rng):
+    """models.layers.bilinear_interpolate_nhwc is torch F.interpolate
+    (bilinear, align_corners=False, antialias=False) — both the gather
+    lerp (odd ratios) and the reshape-mean exact-half fast path."""
+    torch = __import__("torch")
+    from multimodal_brain_pattern_identification_xai_tpu.models.layers import (
+        bilinear_interpolate_nhwc)
+    for (h, w), (h2, w2) in (((8, 12), (4, 6)),      # exact halves
+                             ((25, 37), (12, 18)),   # odd downscales
+                             ((9, 7), (18, 21))):    # upscales
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        got = np.asarray(bilinear_interpolate_nhwc(jnp.asarray(x), (h2, w2)))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(h2, w2),
+            mode="bilinear", align_corners=False
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
