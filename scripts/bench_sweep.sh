@@ -9,6 +9,11 @@ OUT="${1:-BENCH_SWEEP.jsonl}"
 
 run() {  # run <label> <env...> -- <args...>
   local label="$1"; shift
+  # resumable: skip modes already recorded in $OUT (delete the line to re-run)
+  if [ -f "$OUT" ] && grep -q "\"label\": \"$label\"" "$OUT"; then
+    echo "== $label (cached in $OUT, skipping)" >&2
+    return
+  fi
   local envs=()
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
