@@ -333,6 +333,15 @@ def _chain_entry_states(z_zs: jnp.ndarray, A_blk: jnp.ndarray,
     A_pow = np.asarray(A_blk, np.float64)
     shift = 1
     while shift < n:
+        if np.abs(A_pow).max() < 1e-10:
+            # A_blk^shift has decayed below f32 resolution (additions of
+            # relative size < 2^-25 round away entirely), so this level
+            # and every later one are exact no-ops on the f32 states —
+            # skip them.  For the HMS cascade (block=128) this drops the
+            # shift-64 level (max|A^64| ≈ 7e-12); slow-decay filters like
+            # the Q=30 notch keep all levels.  Bitwise-equality pinned by
+            # test_chain_entry_states_decay_truncation_bitwise.
+            break
         Aj = jnp.asarray(A_pow, dt)
         shifted = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(shift, 0), (0, 0)]
                           )[..., :n, :]

@@ -127,16 +127,21 @@ def hms_eeg_preprocess(x: jnp.ndarray,
     ``assume_finite=True`` — the serving/benchmark fast path when the host
     loader already repaired NaNs (data.crop_eeg_window /
     runtime.gather_windows): with finite inputs the NaN repair is the
-    identity and both bandpasses commute with the (linear) montage, so the
-    chain collapses to montage → ONE 11-section cascade — half the kernel
-    passes, mathematically identical output (tested).
+    identity and the channel-independent LTI cascade commutes with the
+    (linear) montage, so the chain collapses to ONE 11-section cascade on
+    the 20 RAW lanes followed by the montage on the decimated output —
+    half the kernel passes, 20/38 of the cascade work, and the 20→37
+    channel expansion happens at T/4 length (≈25× less montage traffic
+    than montage-first).  Mathematically identical output (tested); the
+    per-channel z-score commutes with the channel-select, so both orders
+    match the reference's normalize→select.
 
     ``serving_dtype=jnp.bfloat16`` (assume_finite path only): the cascade's
-    big data matmul reads the montaged signal in bf16, halving the
+    big data matmul reads the raw signal in bf16, halving the
     dominant HBM read of this bandwidth-bound program.  Accumulation,
     filter states and the entry-state chain stay f32 inside
-    ``iir._cascade_block_matmul``, and the z-score runs f32 on the
-    decimated output — deviation vs the f32 chain is pinned by a test.
+    ``iir._cascade_block_matmul``, and the montage + z-score run f32 on
+    the decimated output — deviation vs the f32 chain is pinned by a test.
     Training/XAI paths keep f32 (pass None).
     """
     fs = float(signal.sampling_rate)
@@ -145,7 +150,6 @@ def hms_eeg_preprocess(x: jnp.ndarray,
     bp2 = iir.butter_bandpass(cfg.bandpass.low, cfg.bandpass.high, fs,
                               cfg.denoise_bandpass_order)
     if assume_finite:
-        x = montage.bipolar_differential(x)                 # (..., 38, T)
         casc = iir.cascade(bp1, bp2)
         # The baked rolling-mean operator is exact only when every emitted
         # output window lies inside the real signal, i.e. T % 4 == 0
@@ -171,6 +175,15 @@ def hms_eeg_preprocess(x: jnp.ndarray,
         else:
             y = iir.lfilter(casc, x, axis=-1)
             y = resample.rolling_mean4_decimate_flat(y, cfg.decimate_stride)
+        # montage + channel-select as ONE (37, 20) matmul on the T/4
+        # output (commutes with the cascade — channel-independent LTI)
+        y = montage.apply_montage(
+            y.astype(jnp.float32),
+            montage.montage_matrix(C.MAP_FEATURES,
+                                   keep_channels=C.EEG_FEATURES))
+        y = normalize.zscore(y, axis=-1, eps=cfg.zscore_eps)
+        y = resample.pad_or_truncate(y, signal.fixed_length)
+        return y[..., None, :, :]                           # (..., 1, 37, T')
     else:
         x = iir.lfilter(bp1, x, axis=-1)
         x = nanfix.nan_to_channel_mean(x, axis=-1)

@@ -141,3 +141,60 @@ def test_block_parallel_with_initial_state(rng):
                                      z0=jnp.asarray(z0))
     np.testing.assert_allclose(np.asarray(blk), np.asarray(seq),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_chain_entry_states_decay_truncation_bitwise(rng):
+    """The Hillis-Steele entry-state chain skips levels whose operator
+    A_blk^(2^j) has decayed below f32 resolution (iir.py).  For the HMS
+    serving cascade (order-5 + order-6 bandpass, block=128) that drops the
+    shift-64 level (max|A^64| ~ 7e-12): the filtered output must be
+    BITWISE identical to the untruncated chain, and the 60 Hz Q=30 notch
+    (slow pole decay) must keep every level."""
+    import jax.numpy as jnp
+    casc = iir.cascade(iir.butter_bandpass(0.5, 20.0, 200.0, 5),
+                       iir.butter_bandpass(0.5, 20.0, 200.0, 6))
+    _, _, A_blk, _ = iir._cascade_block_matmul_ops(casc.sos, 128)
+    # the premise: some level's operator is genuinely below threshold
+    A64 = np.linalg.matrix_power(A_blk, 64)
+    assert np.abs(A64).max() < 1e-10
+    x = (rng.standard_normal((3, 10000)) * 40).astype(np.float32)
+
+    got = np.asarray(iir._cascade_block_matmul(jnp.asarray(x), casc.sos,
+                                               block=128))
+
+    # untruncated reference: same code path with the skip disabled
+    import unittest.mock as mock
+
+    def no_trunc(z_zs, A_blk_, hi):
+        n = z_zs.shape[-2]
+        s = z_zs
+        A_pow = np.asarray(A_blk_, np.float64)
+        shift = 1
+        while shift < n:
+            Aj = jnp.asarray(A_pow, z_zs.dtype)
+            shifted = jnp.pad(
+                s, [(0, 0)] * (s.ndim - 2) + [(shift, 0), (0, 0)])[..., :n, :]
+            s = s + jnp.matmul(shifted, Aj.T, precision=hi)
+            A_pow = A_pow @ A_pow
+            shift *= 2
+        return jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(1, 0), (0, 0)]
+                       )[..., :n, :]
+
+    with mock.patch.object(iir, "_chain_entry_states", no_trunc):
+        want = np.asarray(iir._cascade_block_matmul(jnp.asarray(x), casc.sos,
+                                                    block=128))
+    np.testing.assert_array_equal(got, want)
+
+    # the notch keeps all levels: its A_blk decays too slowly to truncate
+    notch = iir.iirnotch(60.0, 30.0, 200.0)
+    _, _, A_n, _ = iir._cascade_block_matmul_ops(notch.sos, 128)
+    n_blocks = 8  # 1024-sample signal
+    A_pow, levels = A_n.astype(np.float64), 0
+    shift = 1
+    while shift < n_blocks:
+        if np.abs(A_pow).max() < 1e-10:
+            break
+        levels += 1
+        A_pow = A_pow @ A_pow
+        shift *= 2
+    assert levels == 3  # ceil(log2(8)) — nothing truncated
