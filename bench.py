@@ -67,25 +67,39 @@ def bench_gradcam() -> None:
     v = model.init(jax.random.PRNGKey(0), x[:2])
     variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
 
-    infer = jax.jit(lambda xx: model.apply(variables, xx))
-    cam = jax.jit(lambda xx: xai.grad_cam(model, variables, xx))
-    # multiplicative perturbation: changes every element's bit pattern
-    # (an additive epsilon underflows against large-magnitude samples)
-    perturb_i = jax.jit(lambda xx, o: xx * (1.0 + jnp.mean(o) * 1e-4))
-    perturb_c = jax.jit(lambda xx, o: xx * (1.0 + jnp.mean(o) * 1e-4))
+    # BENCH_SCAN=K (default 8): K chained forwards per dispatch, so the
+    # serialized tunnel-dispatch floor (~1.5-4.7 ms/execute, an axon
+    # artifact — see the headline bench) cancels out of the ratio instead
+    # of inflating BOTH sides toward 1
+    K = int(os.environ.get("BENCH_SCAN", 8))
 
-    def loop(fn, pert, xx, iters=10):
-        out = fn(xx)
-        jax.block_until_ready(pert(xx, out))
+    def scanned(fn):
+        def body(xx, _):
+            out = fn(xx)
+            # multiplicative perturbation: changes every element's bit
+            # pattern (additive eps underflows vs large-magnitude samples)
+            return xx * (1.0 + jnp.mean(out) * 1e-4), out
+
+        @jax.jit
+        def prog(xx):
+            xx, outs = jax.lax.scan(body, xx, None, length=K)
+            return xx, outs[-1]
+        return prog
+
+    infer = scanned(lambda xx: model.apply(variables, xx))
+    cam = scanned(lambda xx: xai.grad_cam(model, variables, xx))
+
+    def loop(prog, xx, iters=4):
+        xx, out = prog(xx)
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(xx)
-            xx = pert(xx, out)
+            xx, out = prog(xx)
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / (iters * K)
 
-    t_inf = loop(infer, perturb_i, x)
-    t_cam = loop(cam, perturb_c, x)
+    t_inf = loop(infer, x)
+    t_cam = loop(cam, x)
     print(json.dumps({
         "metric": "gradcam_cost_vs_inference",
         "value": round(t_cam / t_inf, 3),
@@ -160,23 +174,39 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
             lambda a: a.astype(jnp.bfloat16),
             v["params"]["spectrogram_model"])
 
-    @jax.jit
-    def step(re, rs):
-        out = mm.apply(v, prep_e(re), prep_s(rs))
-        f = 1.0 + jnp.mean(out) * 1e-4
-        return re * f, rs * f, out
+    # BENCH_SCAN=K (default 8): K chained batches per dispatch — see the
+    # headline bench for the tunnel-dispatch-floor rationale
+    def make_step(K):
+        def body(c, _):
+            re, rs = c
+            out = mm.apply(v, prep_e(re), prep_s(rs))
+            f = 1.0 + jnp.mean(out) * 1e-4
+            return (re * f, rs * f), out
 
-    def run_chain(state, iters):
-        re, rs = state
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            re, rs, out = step(re, rs)
-        _ = float(jnp.sum(out))
-        return (re, rs), time.perf_counter() - t0
+        @jax.jit
+        def step(re, rs):
+            (re, rs), outs = jax.lax.scan(body, (re, rs), None, length=K)
+            return re, rs, outs[-1]
+        return step
 
-    state, _ = run_chain((raw_eeg, raw_spec), 2)   # warmup / compile
-    per_iter = _timed_reps(run_chain, state, iters=10, reps=5)
-    wps = B / per_iter
+    def measure(K, iters, state):
+        step = make_step(K)
+
+        def run_chain(state, iters):
+            re, rs = state
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                re, rs, out = step(re, rs)
+            _ = float(jnp.sum(out))
+            return (re, rs), time.perf_counter() - t0
+
+        state, _ = run_chain(state, 2)             # warmup / compile
+        return B / (_timed_reps(run_chain, state, iters=iters, reps=5) / K)
+
+    K = int(os.environ.get("BENCH_SCAN", 8))
+    wps_disp = measure(1, 10, (raw_eeg, raw_spec))
+    wps = (measure(K, max(2, 10 // K), (raw_eeg, raw_spec))
+           if K > 1 else wps_disp)
     name = {"effnet": "multimodal_effnet_windows_per_sec_per_chip",
             "effnetv2": "multimodal_effnetv2_windows_per_sec_per_chip"}.get(
                 spec_model, "multimodal_windows_per_sec_per_chip")
@@ -184,6 +214,8 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
         "metric": name,
         "value": round(wps, 2), "unit": "windows/s",
         "vs_baseline": round(wps / 10_000.0, 4),
+        "scan_len": K,
+        "per_dispatch_value": round(wps_disp, 2),
     }))
 
 
@@ -897,21 +929,42 @@ def main() -> None:
     # ONE program per iteration: preprocess + inference + the chaining
     # perturbation (uncacheable by construction; multiplicative so every
     # element's bit pattern changes — additive eps underflows in f32).
-    @jax.jit
-    def step(raw):
-        logp = model.apply(variables, prep(raw))
-        return raw * (1.0 + jnp.mean(logp) * 1e-4), logp
+    #
+    # BENCH_SCAN=K (default 8): run K chained batches per dispatch via
+    # lax.scan.  The axon tunnel charges a serialized ~1.5-4.7 ms floor
+    # per EXECUTE that neither jax runahead nor concurrent chains can
+    # overlap (measured: two interleaved independent chains run at 2× the
+    # per-exec floor, not 1×) — an artifact of the tunnel, not of v5e,
+    # where dispatch is tens of µs and overlaps compute.  Scanning K
+    # batches inside one executable amortizes the artifact; the JSON
+    # reports the per-dispatch K=1 value alongside.
+    def make_step(K):
+        def body(r, _):
+            logp = model.apply(variables, prep(r))
+            return r * (1.0 + jnp.mean(logp) * 1e-4), logp
 
-    def run_chain(raw, iters):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            raw, logp = step(raw)
-        _ = float(jnp.sum(logp))           # real sync: host readback
-        return raw, time.perf_counter() - t0
+        @jax.jit
+        def step(raw):
+            raw, logps = jax.lax.scan(body, raw, None, length=K)
+            return raw, logps[-1]
+        return step
 
-    raw, _ = run_chain(raw, 2)             # warmup / compile
-    per_iter = _timed_reps(run_chain, raw, iters=12, reps=5)
-    wps = B / per_iter
+    def measure(K, iters, raw):
+        step = make_step(K)
+
+        def run_chain(raw, iters):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                raw, logp = step(raw)
+            _ = float(jnp.sum(logp))       # real sync: host readback
+            return raw, time.perf_counter() - t0
+
+        raw, _ = run_chain(raw, 2)         # warmup / compile
+        return B / (_timed_reps(run_chain, raw, iters=iters, reps=5) / K)
+
+    K = int(os.environ.get("BENCH_SCAN", 8))
+    wps_disp = measure(1, 12, raw)
+    wps = measure(K, max(2, 12 // K), raw) if K > 1 else wps_disp
 
     baseline = 10_000.0  # BASELINE.json target windows/sec/chip on v5e
     print(json.dumps({
@@ -919,6 +972,8 @@ def main() -> None:
         "value": round(wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(wps / baseline, 4),
+        "scan_len": K,
+        "per_dispatch_value": round(wps_disp, 2),
     }))
 
 
@@ -929,11 +984,11 @@ def main() -> None:
 # builder = PARITY.md bench table).
 LAST_GOOD = {
     "eeg_windows_per_sec_per_chip": {
-        "value": 28920.12, "unit": "windows/s", "vs_baseline": 2.892,
-        "round": 2, "source": "driver:BENCH_r02.json"},
+        "value": 48926.16, "unit": "windows/s", "vs_baseline": 4.893,
+        "round": 4, "source": "builder:PARITY.md"},
     "multimodal_windows_per_sec_per_chip": {
-        "value": 6692.0, "unit": "windows/s", "vs_baseline": 0.669,
-        "round": 2, "source": "builder:PARITY.md"},
+        "value": 7237.62, "unit": "windows/s", "vs_baseline": 0.724,
+        "round": 4, "source": "builder:PARITY.md"},
     "multimodal_effnet_windows_per_sec_per_chip": {
         "value": 4406.0, "unit": "windows/s", "vs_baseline": 0.441,
         "round": 2, "source": "builder:PARITY.md"},
