@@ -984,17 +984,17 @@ def main() -> None:
 # builder = PARITY.md bench table).
 LAST_GOOD = {
     "eeg_windows_per_sec_per_chip": {
-        "value": 48926.16, "unit": "windows/s", "vs_baseline": 4.893,
-        "round": 4, "source": "builder:PARITY.md"},
+        "value": 51348.4, "unit": "windows/s", "vs_baseline": 5.135,
+        "round": 4, "source": "builder:BENCH_SWEEP.jsonl:headline_scan8"},
     "multimodal_windows_per_sec_per_chip": {
-        "value": 7237.62, "unit": "windows/s", "vs_baseline": 0.724,
-        "round": 4, "source": "builder:PARITY.md"},
+        "value": 7301.19, "unit": "windows/s", "vs_baseline": 0.730,
+        "round": 4, "source": "builder:BENCH_SWEEP.jsonl:multimodal_scan8"},
     "multimodal_effnet_windows_per_sec_per_chip": {
-        "value": 4406.0, "unit": "windows/s", "vs_baseline": 0.441,
-        "round": 2, "source": "builder:PARITY.md"},
+        "value": 4780.0, "unit": "windows/s", "vs_baseline": 0.478,
+        "round": 4, "source": "builder:PARITY.md"},
     "multimodal_train_windows_per_sec_per_chip": {
-        "value": 1659.0, "unit": "windows/s", "vs_baseline": None,
-        "round": 3, "source": "builder:PARITY.md"},
+        "value": 1724.0, "unit": "windows/s", "vs_baseline": None,
+        "round": 4, "source": "builder:PARITY.md"},
     "diffeeg_1000step_samples_per_sec_per_chip": {
         "value": 150.7, "unit": "samples/s", "vs_baseline": None,
         "round": 2, "source": "builder:PARITY.md"},

@@ -50,5 +50,11 @@ run diffeeg_train      BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
 run diffeeg_train_bf16 BENCH_DIFF_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
 run diffeeg_train_bf16_fuse5 BENCH_DIFF_BF16=1 BENCH_FUSE=5 BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
 run diffeeg_train_fuse5 BENCH_FUSE=5 BENCH_DEVICE_TIMEOUT=120 -- --diffeeg-train
+# late-r4: BENCH_SCAN=8 chained batches per dispatch amortize the tunnel's
+# serialized per-execute floor (the pre-scan labels above ran at K=1)
+run headline_scan8     BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 --
+run headline_eegbf16_scan8 BENCH_EEG_BF16=1 BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 --
+run gradcam_scan8      BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 -- --gradcam
+run multimodal_scan8   BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 
 echo "sweep done -> $OUT" >&2
