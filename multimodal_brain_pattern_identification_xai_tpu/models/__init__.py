@@ -8,6 +8,7 @@ from .deepconvnet import DeepConvNet  # noqa: F401
 from .diffeeg import (DiffEEG, DiffEEGSanityCheck, GTU,  # noqa: F401
                       make_cached_denoiser, recombine_spectrograms,
                       sinusoidal_embedding)
+from .diffeeg_legacy import DiffEEGLegacy  # noqa: F401
 from .eegnet import (EEGNet, EEGNetAttentionDeep,  # noqa: F401
                      EEGNetAttentionRegularized, EEGNetResidual,
                      EEGNetResidualLSTM, EEGNetTransformer,
@@ -17,6 +18,7 @@ from .fusion import MultimodalModel  # noqa: F401
 from .speccnn import SpectrogramCNN  # noqa: F401
 from .vit import SpectrogramViT  # noqa: F401
 from .torch_import import (load_torch_diffeeg_state_dict,  # noqa: F401
+                           load_torch_diffeeg_legacy_state_dict,
                            load_torch_eegnet_state_dict,
                            load_torch_eegnet_attention_state_dict,
                            load_torch_efficientnet_state_dict,
@@ -43,6 +45,8 @@ REGISTRY: Dict[str, Callable[..., Any]] = {
     # the reference CFG's named preset (main3.py:40)
     "efficientnetv2_b2": EfficientNetV2B2,
     "diffeeg": DiffEEG,
+    # the reference's older dead-code denoiser (diffusion_model.py:8-167)
+    "diffeeg_legacy": DiffEEGLegacy,
 }
 
 

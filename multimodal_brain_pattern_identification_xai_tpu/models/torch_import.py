@@ -334,3 +334,39 @@ def load_torch_diffeeg_state_dict(state_dict: Dict[str, Any],
     _gn(p["final_norm"], state_dict, "final_projection.2")
     _conv1d(p["final_out"], state_dict, "final_projection.3")
     return v
+
+
+def load_torch_diffeeg_legacy_state_dict(state_dict: Dict[str, Any],
+                                         flax_variables: Dict[str, Any]
+                                         ) -> Dict[str, Any]:
+    """Map a torch state dict of the reference's LEGACY DiffEEG variant
+    (diffusion_model.py:8-167, dead code there) onto
+    :class:`..models.diffeeg_legacy.DiffEEGLegacy` variables.
+
+    Same conventions as :func:`load_torch_diffeeg_state_dict`: Linear
+    weights transpose, Conv1d (O, I, k) → (k, I, O), Conv2d
+    (O, I, kh, kw) → (kh, kw, I, O), and ConvTranspose2d (I, O, kh, kw)
+    → spatially FLIPPED (kh, kw, I, O) (flax pads ``k−1−p`` per side and
+    does not flip).  Output parity pinned by tests/test_diffusion.py."""
+    import flax
+    v = flax.core.unfreeze(flax_variables)
+    p = v["params"]
+    for i in (0, 2, 4):
+        _dense(p[f"step_mlp_{i}"], state_dict, f"step_embedding_mlp.{i}")
+    p["class_embedding"]["embedding"] = _t(
+        state_dict["class_embedding.weight"])
+    for name in ("spectrogram_upconv1", "spectrogram_upconv2"):
+        w = _t(state_dict[f"{name}.weight"])               # (I, O, kh, kw)
+        p[name]["kernel"] = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
+        p[name]["bias"] = _t(state_dict[f"{name}.bias"])
+    w = _t(state_dict["spectrogram_embed.weight"])         # (O, I, 1, 1)
+    p["spectrogram_embed"]["kernel"] = w.transpose(2, 3, 1, 0)
+    p["spectrogram_embed"]["bias"] = _t(state_dict["spectrogram_embed.bias"])
+    for name in ("input_conv", "skip_sum", "output_conv"):
+        _conv1d(p[name], state_dict, name)
+    for i in range(1, 5):
+        blk = p[f"res_block{i}"]
+        _conv1d(blk["conv_in"], state_dict, f"res_block{i}.0")
+        _conv1d(blk["conv_dil"], state_dict, f"res_block{i}.2")
+        _conv1d(blk["conv_out"], state_dict, f"res_block{i}.4")
+    return v

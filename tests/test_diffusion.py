@@ -354,3 +354,49 @@ def test_diffeeg_amp_bf16_trains_with_f32_params():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     for leaf in jax.tree_util.tree_leaves(tr.state.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_torch_diffeeg_legacy_import_output_parity(rng):
+    """The reference's LEGACY dead-code denoiser (diffusion_model.py:
+    8-167), imported from a reference-layout torch state dict, reproduces
+    the torch eval-mode noise prediction — incl. both
+    ConvTranspose2d(k=3, s=2, p=1) upsamplers mapped onto flax
+    padding-((1,1),(1,1))+flipped-kernel equivalents and the chained
+    (non-residual) tanh→sigmoid blocks."""
+    torch = __import__("torch")
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from torch_ref import make_torch_diffeeg_legacy
+    C, H = 3, 16
+    F_s, Ts = 1, 25                      # flat (4F−3)(4Ts−3) = 97 = T
+    T = (4 * F_s - 3) * (4 * Ts - 3)
+    sd, torch_forward = make_torch_diffeeg_legacy(seed=3, n_channels=C,
+                                                  hidden=H)
+    model = models.DiffEEGLegacy(n_channels=C, hidden=H)
+    x = rng.standard_normal((2, C, T)).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[rng.integers(0, 6, 2)]
+    t = rng.integers(0, 50, 2).astype(np.float32)
+    spec = rng.standard_normal((2, C, F_s, Ts)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(y), jnp.asarray(t),
+                           jnp.asarray(spec))
+    v2 = models.load_torch_diffeeg_legacy_state_dict(sd, variables)
+    got = np.asarray(model.apply({"params": v2["params"]}, jnp.asarray(x),
+                                 jnp.asarray(y), jnp.asarray(t),
+                                 jnp.asarray(spec)))
+    want = torch_forward(torch.from_numpy(x), torch.from_numpy(y),
+                         torch.from_numpy(t), torch.from_numpy(spec)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_diffeeg_legacy_shape_contract_raises(rng):
+    """The legacy architecture's implicit requirement — flattened
+    upsampled spectrogram length == EEG time dim — is an explicit error
+    here instead of a silent broadcast failure."""
+    model = models.DiffEEGLegacy(n_channels=2, hidden=8)
+    x = jnp.zeros((1, 2, 64))
+    y = jnp.eye(6)[:1]
+    t = jnp.zeros((1,))
+    spec = jnp.zeros((1, 2, 4, 4))       # (4·4−3)² = 169 ≠ 64
+    with pytest.raises(ValueError, match="shape contract"):
+        model.init(jax.random.PRNGKey(0), x, y, t, spec)

@@ -300,3 +300,89 @@ def make_torch_diffeeg(seed: int = 0, n_channels: int = 4, hidden: int = 16,
                         sd["final_projection.3.bias"])
 
     return sd, torch_forward
+
+
+def make_torch_diffeeg_legacy(seed: int = 0, n_channels: int = 3,
+                              hidden: int = 16, n_classes: int = 6):
+    """(state_dict, forward) for the reference's LEGACY DiffEEG variant
+    (diffusion_model.py:8-167, dead code there): step MLP, class
+    embedding, two ConvTranspose2d(k=3, s=2, p=1) spectrogram upsamplers
+    + 1×1 Conv2d + flatten-add, four CHAINED conv blocks with tanh then
+    sigmoid in series (no gating, no residual add), skip-sum + output
+    1×1 convs.  Eval mode (dropout off)."""
+    torch = __import__("torch")
+    F = torch.nn.functional
+    g = torch.Generator().manual_seed(seed)
+    rn = lambda *s: torch.randn(*s, generator=g) * 0.3
+    H, C = hidden, n_channels
+    sd = {
+        "class_embedding.weight": rn(n_classes, H),
+        "spectrogram_upconv1.weight": rn(C, H // 2, 3, 3),
+        "spectrogram_upconv1.bias": rn(H // 2),
+        "spectrogram_upconv2.weight": rn(H // 2, H, 3, 3),
+        "spectrogram_upconv2.bias": rn(H),
+        "spectrogram_embed.weight": rn(H, H, 1, 1),
+        "spectrogram_embed.bias": rn(H),
+        "input_conv.weight": rn(H, C, 1), "input_conv.bias": rn(H),
+        "skip_sum.weight": rn(H, H, 1), "skip_sum.bias": rn(H),
+        "output_conv.weight": rn(C, H, 1), "output_conv.bias": rn(C),
+    }
+    for i in (0, 2, 4):
+        sd[f"step_embedding_mlp.{i}.weight"] = rn(H, H)
+        sd[f"step_embedding_mlp.{i}.bias"] = rn(H)
+    for r, _dil in ((1, 1), (2, 2), (3, 4), (4, 8)):
+        sd[f"res_block{r}.0.weight"] = rn(H, H, 1)
+        sd[f"res_block{r}.0.bias"] = rn(H)
+        sd[f"res_block{r}.2.weight"] = rn(H, H, 3)
+        sd[f"res_block{r}.2.bias"] = rn(H)
+        sd[f"res_block{r}.4.weight"] = rn(H, H, 1)
+        sd[f"res_block{r}.4.bias"] = rn(H)
+
+    import numpy as _np
+
+    def block(x, r, dil):
+        x = torch.tanh(F.conv1d(x, sd[f"res_block{r}.0.weight"],
+                                sd[f"res_block{r}.0.bias"]))
+        x = torch.sigmoid(F.conv1d(x, sd[f"res_block{r}.2.weight"],
+                                   sd[f"res_block{r}.2.bias"],
+                                   padding=dil, dilation=dil))
+        return F.conv1d(x, sd[f"res_block{r}.4.weight"],
+                        sd[f"res_block{r}.4.bias"])
+
+    def torch_forward(x, y, t, spec):
+        B, _, T = x.shape
+        half = H // 2
+        emb = torch.exp(torch.arange(half)
+                        * (-_np.log(10000.0) / (half - 1)))
+        emb = t.view(-1, 1) * emb
+        se = torch.cat((emb.sin(), emb.cos()), dim=-1)
+        se = F.relu(F.linear(se, sd["step_embedding_mlp.0.weight"],
+                             sd["step_embedding_mlp.0.bias"]))
+        se = F.relu(F.linear(se, sd["step_embedding_mlp.2.weight"],
+                             sd["step_embedding_mlp.2.bias"]))
+        se = F.linear(se, sd["step_embedding_mlp.4.weight"],
+                      sd["step_embedding_mlp.4.bias"])
+        step_emb = se.unsqueeze(-1).expand(-1, -1, T)
+        ce = sd["class_embedding.weight"][y.argmax(dim=1)]
+        class_emb = ce.unsqueeze(-1).expand(-1, -1, T)
+        s = F.relu(F.conv_transpose2d(
+            spec, sd["spectrogram_upconv1.weight"],
+            sd["spectrogram_upconv1.bias"], stride=2, padding=1))
+        s = F.relu(F.conv_transpose2d(
+            s, sd["spectrogram_upconv2.weight"],
+            sd["spectrogram_upconv2.bias"], stride=2, padding=1))
+        s = F.conv2d(s, sd["spectrogram_embed.weight"],
+                     sd["spectrogram_embed.bias"])
+        s = s.reshape(B, H, -1)
+        h = (F.conv1d(x, sd["input_conv.weight"], sd["input_conv.bias"])
+             + step_emb + class_emb + s)
+        x1 = block(h, 1, 1)
+        x2 = block(x1, 2, 2)
+        x3 = block(x2, 3, 4)
+        x4 = block(x3, 4, 8)
+        out = F.conv1d(x1 + x2 + x3 + x4, sd["skip_sum.weight"],
+                       sd["skip_sum.bias"])
+        return F.conv1d(out, sd["output_conv.weight"],
+                        sd["output_conv.bias"])
+
+    return sd, torch_forward
