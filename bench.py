@@ -40,6 +40,61 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
+# ---------------------------------------------------------------------------
+# Whole-run budget (round-5, VERDICT r4 #1): the bare ``python bench.py`` the
+# driver runs must emit a parseable JSON line under ANY caller kill budget —
+# round 4's artifact was rc=124/parsed-null because the run died inside a
+# cold compile over the tunnel, past backend init (the only phase the r3
+# watchdog guarded).  Two cooperating layers fix that:
+#
+# * a SUPERVISOR parent process (never imports jax, so it can never block on
+#   the backend) re-execs this script as a child, forwards intermediate
+#   ``PARTIAL`` results, and on deadline expiry / SIGTERM kills the child and
+#   prints the best already-measured result — or the ``last_good`` error JSON
+#   — itself;
+# * the child is BUDGET-AWARE: scanned modes measure K=1 first (one compile),
+#   publish it as a partial, and only compile the second K>1 program when the
+#   remaining budget covers another cold compile.
+#
+# ``BENCH_TOTAL_BUDGET`` (seconds, default 240 — safely inside the driver
+# budget implied by r3's surviving 300 s watchdog line) bounds the whole run;
+# 0 disables the deadline (the supervisor still guards against SIGTERM).
+# ``BENCH_NO_SUPERVISOR=1`` runs the measurement in-process (tests/debug).
+_BUDGET_T_END: float | None = None
+if os.environ.get("BENCH_BUDGET_S"):
+    _BUDGET_T_END = time.monotonic() + float(os.environ["BENCH_BUDGET_S"])
+
+
+def _budget_remaining() -> float:
+    """Seconds left before the supervisor's deadline (inf when unbounded)."""
+    if _BUDGET_T_END is None:
+        return float("inf")
+    return _BUDGET_T_END - time.monotonic()
+
+
+def _partial(result: dict) -> None:
+    """Publish an intermediate measurement to the supervisor.  If the run
+    is later killed (deadline, driver SIGTERM, tunnel stall), the most
+    recent partial becomes the final printed artifact."""
+    if os.environ.get("BENCH_SUPERVISED") == "1":
+        print("PARTIAL " + json.dumps(result), flush=True)
+
+
+def _emit(result: dict) -> None:
+    """Print the mode's final JSON line."""
+    print(json.dumps(result), flush=True)
+
+
+def _short_err(e: BaseException, limit: int = 200) -> str:
+    """Exception class + ANSI-stripped first line, capped at ``limit``
+    chars — probe captures must stay readable/diffable in BENCH_SWEEP.jsonl
+    (VERDICT r4 #6: a raw libtpu stack tail once embedded ~4 KB of escape
+    codes in the convprobe entry)."""
+    import re
+    first = (str(e).splitlines() or [""])[0]
+    first = re.sub(r"\x1b\[[0-9;]*[A-Za-z]", "", first)
+    return f"error: {type(e).__name__}: {first[:limit]}"
+
 
 def _timed_reps(run_chain, state, iters: int, reps: int):
     """run_chain(state, iters) -> (state, elapsed_seconds); returns the
@@ -71,9 +126,7 @@ def bench_gradcam() -> None:
     # serialized tunnel-dispatch floor (~1.5-4.7 ms/execute, an axon
     # artifact — see the headline bench) cancels out of the ratio instead
     # of inflating BOTH sides toward 1
-    K = int(os.environ.get("BENCH_SCAN", 8))
-
-    def scanned(fn):
+    def scanned(fn, K):
         def body(xx, _):
             out = fn(xx)
             # multiplicative perturbation: changes every element's bit
@@ -86,10 +139,7 @@ def bench_gradcam() -> None:
             return xx, outs[-1]
         return prog
 
-    infer = scanned(lambda xx: model.apply(variables, xx))
-    cam = scanned(lambda xx: xai.grad_cam(model, variables, xx))
-
-    def loop(prog, xx, iters=4):
+    def loop(prog, xx, K, iters=4):
         xx, out = prog(xx)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -98,16 +148,37 @@ def bench_gradcam() -> None:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / (iters * K)
 
-    t_inf = loop(infer, x)
-    t_cam = loop(cam, x)
-    print(json.dumps({
-        "metric": "gradcam_cost_vs_inference",
-        "value": round(t_cam / t_inf, 3),
-        "unit": "x",
-        "vs_baseline": round(2.0 / (t_cam / t_inf), 3),
-        "inference_ms": round(t_inf * 1e3, 2),
-        "gradcam_ms": round(t_cam * 1e3, 2),
-    }))
+    def measure_pair(K):
+        infer = scanned(lambda xx: model.apply(variables, xx), K)
+        cam = scanned(lambda xx: xai.grad_cam(model, variables, xx), K)
+        return loop(infer, x, K), loop(cam, x, K)
+
+    def result(t_inf, t_cam, scan_len):
+        return {"metric": "gradcam_cost_vs_inference",
+                "value": round(t_cam / t_inf, 3),
+                "unit": "x",
+                "vs_baseline": round(2.0 / (t_cam / t_inf), 3),
+                "inference_ms": round(t_inf * 1e3, 2),
+                "gradcam_ms": round(t_cam * 1e3, 2),
+                "scan_len": scan_len}
+
+    # budget-aware two-phase measurement — see the headline bench.  K=1
+    # inflates BOTH sides by the dispatch floor (ratio biased toward 1,
+    # i.e. conservative-looking), so the K-scan refinement matters here;
+    # the K=1 partial still carries the honest per-dispatch times.
+    K = int(os.environ.get("BENCH_SCAN", 8))
+    t_inf, t_cam = measure_pair(1)
+    _partial(result(t_inf, t_cam, 1))
+    # the pair costs TWO cold compiles — require budget for both
+    reserve = 1.6 * float(os.environ.get("BENCH_SCAN_RESERVE", 75))
+    if K > 1 and _budget_remaining() > reserve:
+        t_inf, t_cam = measure_pair(K)
+        _emit(result(t_inf, t_cam, K))
+    else:
+        out = result(t_inf, t_cam, 1)
+        if K > 1:
+            out["scan_skipped"] = "budget"
+        _emit(out)
 
 
 def bench_multimodal(spec_model: str = "speccnn") -> None:
@@ -203,20 +274,43 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
         state, _ = run_chain(state, 2)             # warmup / compile
         return B / (_timed_reps(run_chain, state, iters=iters, reps=5) / K)
 
-    K = int(os.environ.get("BENCH_SCAN", 8))
-    wps_disp = measure(1, 10, (raw_eeg, raw_spec))
-    wps = (measure(K, max(2, 10 // K), (raw_eeg, raw_spec))
-           if K > 1 else wps_disp)
     name = {"effnet": "multimodal_effnet_windows_per_sec_per_chip",
             "effnetv2": "multimodal_effnetv2_windows_per_sec_per_chip"}.get(
                 spec_model, "multimodal_windows_per_sec_per_chip")
-    print(json.dumps({
-        "metric": name,
-        "value": round(wps, 2), "unit": "windows/s",
-        "vs_baseline": round(wps / 10_000.0, 4),
-        "scan_len": K,
-        "per_dispatch_value": round(wps_disp, 2),
-    }))
+
+    def result(wps, scan_len, wps_disp):
+        out = {"metric": name,
+               "value": round(wps, 2), "unit": "windows/s",
+               "vs_baseline": round(wps / 10_000.0, 4),
+               "scan_len": scan_len,
+               "per_dispatch_value": round(wps_disp, 2)}
+        if out["vs_baseline"] < 1.0:
+            # machine-readable ceiling annotation (VERDICT r4 #5): the 10k
+            # target is the HEADLINE preprocess+infer metric (met at >5×);
+            # this dual-branch mode reproduces the notebook's exact model
+            # pair, whose wide low-channel spec-CNN early blocks bound it
+            # at ~7.3k — ceiling bounded from seven measured directions
+            out["baseline_basis"] = (
+                "vs_baseline uses the headline 10k windows/s target; this "
+                "mode serves the notebook's exact dual-branch pair, "
+                "architecture-bound at ~7.3k by the spec-CNN block1/2 MXU "
+                "utilization — see PARITY.md 'spec-CNN ceiling' and "
+                "--multimodal --breakdown")
+        return out
+
+    # budget-aware two-phase measurement — see the headline bench
+    K = int(os.environ.get("BENCH_SCAN", 8))
+    wps_disp = measure(1, 10, (raw_eeg, raw_spec))
+    _partial(result(wps_disp, 1, wps_disp))
+    reserve = float(os.environ.get("BENCH_SCAN_RESERVE", 75))
+    if K > 1 and _budget_remaining() > reserve:
+        _emit(result(measure(K, max(2, 10 // K), (raw_eeg, raw_spec)),
+                     K, wps_disp))
+    else:
+        out = result(wps_disp, 1, wps_disp)
+        if K > 1:
+            out["scan_skipped"] = "budget"
+        _emit(out)
 
 
 def bench_multimodal_breakdown() -> None:
@@ -348,7 +442,7 @@ def bench_multimodal_breakdown() -> None:
         H, W, Cin = Hp, Wp, Cout
 
     wps = B / cum["full_pipeline"]
-    print(json.dumps({
+    _emit({
         "metric": "multimodal_breakdown",
         "value": round(wps, 2), "unit": "windows/s",
         "vs_baseline": round(wps / 10_000.0, 4),
@@ -359,7 +453,7 @@ def bench_multimodal_breakdown() -> None:
         "note": ("per-stage = difference of chained prefix programs "
                  "(dispatch overhead cancels); MFU = conv MACs×2 / v5e "
                  "bf16 peak 197 TFLOP/s"),
-    }))
+    })
 
 
 def bench_diffusion() -> None:
@@ -394,11 +488,11 @@ def bench_diffusion() -> None:
         out = gen(jax.random.PRNGKey(i + 1))
     jax.block_until_ready(out)
     sps_ = B * iters / (time.perf_counter() - t0)
-    print(json.dumps({
+    _emit({
         "metric": "diffeeg_1000step_samples_per_sec_per_chip",
         "value": round(sps_, 2), "unit": "samples/s",
         "vs_baseline": None,
-    }))
+    })
 
 
 def bench_train() -> None:
@@ -461,11 +555,11 @@ def bench_train() -> None:
     s0, _ = run_chain((state, raw_eeg, raw_spec), 2)   # warmup / compile
     per_iter = _timed_reps(run_chain, s0, iters=8, reps=5)
     wps = B / per_iter
-    print(json.dumps({
+    _emit({
         "metric": "multimodal_train_windows_per_sec_per_chip",
         "value": round(wps, 2), "unit": "windows/s",
         "vs_baseline": None,
-    }))
+    })
 
 
 def bench_diffeeg_train() -> None:
@@ -514,12 +608,12 @@ def bench_diffeeg_train() -> None:
     s0, _ = run_chain((trainer.state, trainer.ema, xs), 1)   # compile
     per_step = _timed_reps(run_chain, s0, iters=2, reps=3)
     wps = K * B / per_step
-    print(json.dumps({
+    _emit({
         "metric": "diffeeg_train_windows_per_sec_per_chip",
         "value": round(wps, 2), "unit": "windows/s",
         "vs_baseline": None,
         "step_ms": round(per_step * 1e3, 1),
-    }))
+    })
 
 
 def bench_longeeg() -> None:
@@ -562,12 +656,103 @@ def bench_longeeg() -> None:
         return state, time.perf_counter() - t0
 
     per_iter = _timed_reps(run_chain, xx, iters=4, reps=3)
-    print(json.dumps({
+    _emit({
         "metric": "longeeg_rollout_hours_per_sec_per_chip",
         "value": round(HOURS / per_iter, 3), "unit": "EEG-hours/s",
         "vs_baseline": None,
         "tokens": T // 200,
-    }))
+    })
+
+
+def bench_xai_batch() -> None:
+    """Optional mode (BASELINE config #5): batched attribution THROUGHPUT
+    on the EEG branch — the TPU replacement for the reference's per-sample
+    SHAP loop (XAI_Multimodality.py:2242-2329, one ``shap_values`` call
+    per explained window).
+
+    Two programs at B=256 windows (1, 37, 3000):
+
+    * integrated gradients, ``steps``-point midpoint sweep run as a
+      chunked ``lax.scan`` (``chunk × B`` effective network batch) —
+      headline value, maps/s/chip;
+    * per-class gradient-SHAP (``GradientExplainer.shap_values``
+      semantics): 6 classes × ``nsamples`` Monte-Carlo draws.
+
+    The pod-sharded forms of both (xai/sharded.py) split the sample axis
+    over the mesh's data axis with zero collectives, so multi-chip
+    throughput is N× these single-chip numbers (mesh exactness pinned by
+    test_sharded_attributions_match_single_device).
+    ``python bench.py --xai-batch``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from multimodal_brain_pattern_identification_xai_tpu import models, xai
+
+    B = int(os.environ.get("BENCH_BATCH", 256))
+    steps = int(os.environ.get("BENCH_IG_STEPS", 50))
+    nsamples = int(os.environ.get("BENCH_SHAP_NSAMPLES", 32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, 1, 37, 3000)), jnp.float32)
+
+    model = models.EEGNetAttentionRegularized()
+    v = model.init(jax.random.PRNGKey(0), x[:2])
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    fwd = lambda xx: model.apply(variables, xx)
+    tgt = jnp.argmax(fwd(x), -1)
+    bg = x[: min(16, B)]                       # background drawn from batch
+    key = jax.random.PRNGKey(1)
+
+    # chunk ≈ 2048-sample effective batches: big enough to saturate the
+    # chip, small enough that activations fit alongside the accumulator
+    chunk_ig = max(1, 2048 // B)
+    while steps % chunk_ig:
+        chunk_ig -= 1
+    chunk_eg = max(1, 1024 // B)
+    while nsamples % chunk_eg:
+        chunk_eg -= 1
+
+    @jax.jit
+    def ig_step(xx):
+        attr = xai.integrated_gradients(fwd, xx, None, tgt, steps=steps,
+                                        chunk=chunk_ig)
+        return xx * (1.0 + jnp.mean(jnp.abs(attr)) * 1e-4), attr
+
+    @jax.jit
+    def shap_step(xx):
+        sv = xai.gradient_shap_values(fwd, xx, bg, key, nsamples=nsamples,
+                                      chunk=chunk_eg)
+        return xx * (1.0 + jnp.mean(jnp.abs(sv)) * 1e-4), sv
+
+    def measure(step, iters=2, reps=3):
+        def run_chain(xx, n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                xx, out = step(xx)
+            _ = float(jnp.sum(out))
+            return xx, time.perf_counter() - t0
+        xx, _ = run_chain(x, 1)                # warmup / compile
+        return B / _timed_reps(run_chain, xx, iters=iters, reps=reps)
+
+    def result(ig_mps, shap_mps):
+        out = {"metric": "xai_ig_maps_per_sec_per_chip",
+               "value": round(ig_mps, 2), "unit": "maps/s",
+               "vs_baseline": None,
+               "ig_steps": steps, "batch": B}
+        if shap_mps is not None:
+            out["shap_maps_per_sec"] = round(shap_mps, 2)
+            out["shap_nsamples"] = nsamples
+            out["shap_classes"] = 6
+        return out
+
+    ig_mps = measure(ig_step)
+    _partial(result(ig_mps, None))
+    # the SHAP program is a second cold compile (6-class scan) — budget gate
+    if _budget_remaining() > float(os.environ.get("BENCH_SCAN_RESERVE", 75)):
+        _emit(result(ig_mps, measure(shap_step)))
+    else:
+        out = result(ig_mps, None)
+        out["shap_skipped"] = "budget"
+        _emit(out)
 
 
 def bench_latency() -> None:
@@ -616,11 +801,11 @@ def bench_latency() -> None:
         raw, out, heat = step(raw)
     jax.block_until_ready(heat)
     ms = (time.perf_counter() - t0) / iters * 1e3
-    print(json.dumps({
+    _emit({
         "metric": "single_window_stft_effnet_gradcam_latency",
         "value": round(ms, 3), "unit": "ms",
         "vs_baseline": None,
-    }))
+    })
 
 
 def bench_hostgather() -> None:
@@ -666,12 +851,12 @@ def bench_hostgather() -> None:
 
     fresh = time_mode(False)
     ring = time_mode(True)
-    print(json.dumps({
+    _emit({
         "metric": "hostgather_ring_ms_per_batch",
         "value": round(ring, 2),
         "unit": "ms/batch (B=256, ~330 MB)",
         "vs_baseline": round(fresh / ring, 3),      # speedup vs fresh-alloc
-    }))
+    })
 
 
 def bench_convprobe() -> None:
@@ -871,7 +1056,7 @@ def bench_convprobe() -> None:
             if useful < 1.0:
                 results[name + "_eff_tflops"] = round(raw * useful, 2)
         except Exception as e:                              # noqa: BLE001
-            results[name + "_tflops"] = f"error: {type(e).__name__}: {e}"
+            results[name + "_tflops"] = _short_err(e)
 
     # "best" compares USEFUL-FLOP rates: a packed probe counts only its
     # 9/(taps-union) fraction (its *_eff_tflops twin), unpacked probes
@@ -887,12 +1072,12 @@ def bench_convprobe() -> None:
               and key[:-len("_tflops")] + "_eff_tflops" not in results):
             useful_rates.append(v)
     best = max(useful_rates)
-    print(json.dumps({
+    _emit({
         "metric": "convprobe_best_smallcout_tflops",
         "value": best, "unit": "TFLOP/s",
         "vs_baseline": round(best / 197.0, 4),              # fraction of peak
         **results,
-    }))
+    })
 
 
 def main() -> None:
@@ -962,58 +1147,214 @@ def main() -> None:
         raw, _ = run_chain(raw, 2)         # warmup / compile
         return B / (_timed_reps(run_chain, raw, iters=iters, reps=5) / K)
 
+    baseline = 10_000.0  # BASELINE.json target windows/sec/chip on v5e
+
+    def result(wps, scan_len, wps_disp):
+        return {"metric": "eeg_windows_per_sec_per_chip",
+                "value": round(wps, 2),
+                "unit": "windows/s",
+                "vs_baseline": round(wps / baseline, 4),
+                "scan_len": scan_len,
+                "per_dispatch_value": round(wps_disp, 2)}
+
+    # budget-aware two-phase measurement (VERDICT r4 #1b): K=1 costs ONE
+    # compile and is published as a partial immediately; the K-scan program
+    # (a second cold compile, 20s-10min over the tunnel when the .jax_cache
+    # is cold) is only attempted when the remaining budget covers it.
     K = int(os.environ.get("BENCH_SCAN", 8))
     wps_disp = measure(1, 12, raw)
-    wps = measure(K, max(2, 12 // K), raw) if K > 1 else wps_disp
-
-    baseline = 10_000.0  # BASELINE.json target windows/sec/chip on v5e
-    print(json.dumps({
-        "metric": "eeg_windows_per_sec_per_chip",
-        "value": round(wps, 2),
-        "unit": "windows/s",
-        "vs_baseline": round(wps / baseline, 4),
-        "scan_len": K,
-        "per_dispatch_value": round(wps_disp, 2),
-    }))
+    _partial(result(wps_disp, 1, wps_disp))
+    reserve = float(os.environ.get("BENCH_SCAN_RESERVE", 75))
+    if K > 1 and _budget_remaining() > reserve:
+        _emit(result(measure(K, max(2, 12 // K), raw), K, wps_disp))
+    else:
+        out = result(wps_disp, 1, wps_disp)
+        if K > 1:
+            out["scan_skipped"] = "budget"
+        _emit(out)
 
 
-# Last measured value per metric, emitted as a structured ``last_good``
-# field when the device tunnel is down so the driver's artifact stays
-# machine-comparable across rounds.  ``round`` is the build round of the
-# measurement; ``source`` says who verified it (driver = BENCH_r{N}.json,
-# builder = PARITY.md bench table).
-LAST_GOOD = {
+def _lower_is_better(metric: str, unit: str) -> bool:
+    """Direction of merit per metric: latencies/cost-ratios improve
+    downward, every throughput metric improves upward."""
+    return ("ms" in unit.split("/")[0] or "latency" in metric
+            or metric == "gradcam_cost_vs_inference")
+
+
+def _load_last_good(path: str | None = None) -> dict:
+    """Best hardware-captured value per metric, derived from the committed
+    ``BENCH_SWEEP.jsonl`` at runtime (VERDICT r4 #2: the hand-maintained
+    table went stale within one round — e.g. it carried diffeeg_train 1660
+    while the sweep had 2028).  Falls back to :data:`_STATIC_LAST_GOOD`
+    only when the sweep file is absent.  Each record carries the sweep
+    ``label`` that produced it, so an env-variant best (e.g. the bf16
+    serving mode) is self-describing."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SWEEP.jsonl")
+    try:
+        lines = open(path).read().splitlines()
+    except OSError:
+        return dict(_STATIC_LAST_GOOD)
+    best: dict = {}
+    for line in lines:
+        try:
+            entry = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        r = entry.get("result", {})
+        metric, value = r.get("metric"), r.get("value")
+        if not isinstance(value, (int, float)) or not metric:
+            continue
+        rec = {"value": value, "unit": r.get("unit"),
+               "vs_baseline": r.get("vs_baseline"),
+               "round": entry.get("round"),
+               "source": f"builder:BENCH_SWEEP.jsonl:{entry.get('label')}"}
+        prev = best.get(metric)
+        if (prev is None
+                or (value < prev["value"]
+                    if _lower_is_better(metric, r.get("unit") or "")
+                    else value > prev["value"])):
+            best[metric] = rec
+    return best or dict(_STATIC_LAST_GOOD)
+
+
+# Fallback for checkouts without BENCH_SWEEP.jsonl only — the live table is
+# derived from the sweep file by _load_last_good() (see VERDICT r4 #2).
+_STATIC_LAST_GOOD = {
     "eeg_windows_per_sec_per_chip": {
         "value": 51348.4, "unit": "windows/s", "vs_baseline": 5.135,
         "round": 4, "source": "builder:BENCH_SWEEP.jsonl:headline_scan8"},
-    "multimodal_windows_per_sec_per_chip": {
-        "value": 7301.19, "unit": "windows/s", "vs_baseline": 0.730,
-        "round": 4, "source": "builder:BENCH_SWEEP.jsonl:multimodal_scan8"},
-    "multimodal_effnet_windows_per_sec_per_chip": {
-        "value": 4780.0, "unit": "windows/s", "vs_baseline": 0.478,
-        "round": 4, "source": "builder:PARITY.md"},
-    "multimodal_train_windows_per_sec_per_chip": {
-        "value": 1724.0, "unit": "windows/s", "vs_baseline": None,
-        "round": 4, "source": "builder:PARITY.md"},
-    "diffeeg_1000step_samples_per_sec_per_chip": {
-        "value": 150.7, "unit": "samples/s", "vs_baseline": None,
-        "round": 2, "source": "builder:PARITY.md"},
-    "diffeeg_train_windows_per_sec_per_chip": {
-        "value": 1660.0, "unit": "windows/s", "vs_baseline": None,
-        "round": 3, "source": "builder:PARITY.md"},
-    "longeeg_rollout_hours_per_sec_per_chip": {
-        "value": 65.5, "unit": "EEG-hours/s", "vs_baseline": None,
-        "round": 2, "source": "builder:PARITY.md"},
-    "single_window_stft_effnet_gradcam_latency": {
-        "value": 2.35, "unit": "ms/window", "vs_baseline": None,
-        "round": 2, "source": "builder:PARITY.md"},
     "gradcam_cost_vs_inference": {
-        "value": 1.17, "unit": "x inference", "vs_baseline": None,
-        "round": 2, "source": "builder:PARITY.md"},
-    "hostgather_ring_ms_per_batch": {
-        "value": 62.0, "unit": "ms/batch (B=256, ~330 MB)",
-        "vs_baseline": None, "round": 3, "source": "builder:PARITY.md"},
+        "value": 1.041, "unit": "x", "vs_baseline": 1.92,
+        "round": 4, "source": "builder:BENCH_SWEEP.jsonl:gradcam_scan8"},
 }
+
+LAST_GOOD = _load_last_good()
+
+
+#: mode flag → metric name (for error/last_good emission without running jax)
+_MODE_METRIC = {
+    "--gradcam": "gradcam_cost_vs_inference",
+    "--multimodal": "multimodal_windows_per_sec_per_chip",
+    "--multimodal-effnetv2": "multimodal_effnetv2_windows_per_sec_per_chip",
+    "--multimodal-effnet": "multimodal_effnet_windows_per_sec_per_chip",
+    "--train": "multimodal_train_windows_per_sec_per_chip",
+    "--diffusion": "diffeeg_1000step_samples_per_sec_per_chip",
+    "--diffeeg-train": "diffeeg_train_windows_per_sec_per_chip",
+    "--longeeg": "longeeg_rollout_hours_per_sec_per_chip",
+    "--latency": "single_window_stft_effnet_gradcam_latency",
+    "--hostgather": "hostgather_ring_ms_per_batch",
+    "--convprobe": "convprobe_best_smallcout_tflops",
+    "--xai-batch": "xai_ig_maps_per_sec_per_chip",
+}
+
+
+def _metric_for_argv(argv: list[str]) -> str:
+    return next((m for flag, m in _MODE_METRIC.items() if flag in argv),
+                "eeg_windows_per_sec_per_chip")
+
+
+def _supervise(argv: list[str]) -> "int":
+    """Run the measurement in a CHILD process under a whole-run deadline.
+
+    The parent never imports jax, so nothing — a stalled tunnel execute, a
+    10-minute cold compile, a wedged backend — can stop it from printing a
+    parseable JSON line.  Outcomes:
+
+    * child finishes → its final JSON line is reprinted, exit 0;
+    * deadline expires / parent receives SIGTERM (the driver's ``timeout``
+      sends exactly that) → the child is killed and the most recent
+      ``PARTIAL`` measurement is printed (marked ``"partial": true``), or
+      the ``last_good`` error JSON when nothing was measured yet;
+    * child dies without output → ``last_good`` error JSON.
+
+    Every path prints machine-comparable JSON and exits 0: the artifact is
+    the contract, and a run that delivered it did not fail.
+    """
+    import signal
+    import subprocess
+    import threading
+
+    total = float(os.environ.get("BENCH_TOTAL_BUDGET", 240))
+    env = dict(os.environ)
+    env["BENCH_SUPERVISED"] = "1"
+    if total > 0:
+        # child's self-pacing budget: leave the parent ~8% + 5 s of slack
+        # to kill/print after the child's own deadline-aware paths miss
+        env.setdefault("BENCH_BUDGET_S", str(max(total * 0.92 - 5.0, 5.0)))
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + argv,
+        stdout=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    state = {"partial": None, "final": None}
+    done = threading.Event()
+
+    def finish(result: dict) -> "None":
+        if done.is_set():
+            return
+        done.set()
+        print(json.dumps(result), flush=True)
+        try:
+            child.kill()
+        except OSError:
+            pass
+        # the reader thread may be blocked on the dead child's pipe and the
+        # interpreter must not wait for it
+        os._exit(0)
+
+    def stop(reason: str) -> "None":
+        if state["final"] is not None:
+            finish(state["final"])
+        elif state["partial"] is not None:
+            p = dict(state["partial"])
+            p.update(partial=True, stopped_by=reason)
+            finish(p)
+        else:
+            metric = _metric_for_argv(argv)
+            finish({"metric": metric, "value": 0.0, "unit": "error",
+                    "vs_baseline": 0.0,
+                    "error": f"no measurement completed before {reason}",
+                    "last_good": LAST_GOOD.get(metric)})
+
+    def reader() -> "None":
+        for line in child.stdout:
+            line = line.rstrip("\n")
+            if line.startswith("PARTIAL "):
+                try:
+                    state["partial"] = json.loads(line[len("PARTIAL "):])
+                except json.JSONDecodeError:
+                    pass
+            elif line.lstrip().startswith("{"):
+                try:
+                    state["final"] = json.loads(line)
+                except json.JSONDecodeError:
+                    print(line, file=sys.stderr, flush=True)
+            elif line:
+                print(line, file=sys.stderr, flush=True)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(sig, lambda s, f: stop(f"signal {s}"))
+
+    try:
+        child.wait(timeout=total if total > 0 else None)
+    except subprocess.TimeoutExpired:
+        stop(f"BENCH_TOTAL_BUDGET={total:.0f}s deadline")
+    t.join(timeout=10)
+    if state["final"] is not None:
+        if (state["final"].get("unit") == "error"
+                and state["partial"] is not None):
+            # a real measurement beats the error a LATER phase died with
+            p = dict(state["partial"])
+            p.update(partial=True,
+                     stopped_by=state["final"].get("error", "error"))
+            finish(p)
+        finish(state["final"])
+    stop(f"child exit rc={child.returncode} without a final result")
+    return 0                                     # unreachable: finish exits
 
 
 def _require_device(timeout_s: float) -> None:
@@ -1035,22 +1376,7 @@ def _require_device(timeout_s: float) -> None:
     t.start()
     t.join(timeout_s)
     if t.is_alive() or "error" in result:
-        mode_metric = {
-            "--gradcam": "gradcam_cost_vs_inference",
-            "--multimodal": "multimodal_windows_per_sec_per_chip",
-            "--multimodal-effnetv2":
-                "multimodal_effnetv2_windows_per_sec_per_chip",
-            "--multimodal-effnet": "multimodal_effnet_windows_per_sec_per_chip",
-            "--train": "multimodal_train_windows_per_sec_per_chip",
-            "--diffusion": "diffeeg_1000step_samples_per_sec_per_chip",
-            "--diffeeg-train": "diffeeg_train_windows_per_sec_per_chip",
-            "--longeeg": "longeeg_rollout_hours_per_sec_per_chip",
-            "--latency": "single_window_stft_effnet_gradcam_latency",
-            "--hostgather": "hostgather_ring_ms_per_batch",
-            "--convprobe": "convprobe_best_smallcout_tflops",
-        }
-        metric = next((m for f, m in mode_metric.items()
-                       if f in sys.argv), "eeg_windows_per_sec_per_chip")
+        metric = _metric_for_argv(sys.argv)
         print(json.dumps({
             "metric": metric,
             "value": 0.0, "unit": "error", "vs_baseline": 0.0,
@@ -1066,6 +1392,31 @@ def _require_device(timeout_s: float) -> None:
 
 
 if __name__ == "__main__":
+    if (os.environ.get("BENCH_SUPERVISED") != "1"
+            and os.environ.get("BENCH_NO_SUPERVISOR") != "1"):
+        sys.exit(_supervise(sys.argv[1:]))
+    if "--_selftest-stall" in sys.argv:
+        # hermetic stand-ins for a compile/execute that never returns
+        # (tests/test_aux_components.py): publish one partial, then hang —
+        # the supervisor's deadline must still deliver a parseable line.
+        # ``--_selftest-hang`` hangs with NO partial (last_good path).
+        _partial({"metric": "eeg_windows_per_sec_per_chip", "value": 1.0,
+                  "unit": "windows/s", "vs_baseline": 0.0001,
+                  "scan_len": 1, "selftest": True})
+        time.sleep(3600)
+    if "--_selftest-hang" in sys.argv:
+        time.sleep(3600)
+    if "--_selftest-raise" in sys.argv:
+        # publish a partial, then die like a dropped tunnel connection:
+        # the supervisor must prefer the real measurement over the error
+        _partial({"metric": "eeg_windows_per_sec_per_chip", "value": 2.0,
+                  "unit": "windows/s", "vs_baseline": 0.0002,
+                  "scan_len": 1, "selftest": True})
+        _emit({"metric": "eeg_windows_per_sec_per_chip", "value": 0.0,
+               "unit": "error", "vs_baseline": 0.0,
+               "error": "error: JaxRuntimeError: simulated",
+               "last_good": LAST_GOOD.get("eeg_windows_per_sec_per_chip")})
+        sys.exit(1)
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # CPU smoke mode (sitecustomize force-selects the axon platform;
         # the env var alone is overridden — see .claude/skills/verify)
@@ -1073,29 +1424,43 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     else:
         _require_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 60)))
-    if "--gradcam" in sys.argv:
-        bench_gradcam()
-    elif "--multimodal-effnetv2" in sys.argv:
-        bench_multimodal("effnetv2")
-    elif "--multimodal-effnet" in sys.argv:
-        bench_multimodal("effnet")
-    elif "--train" in sys.argv:
-        bench_train()
-    elif "--longeeg" in sys.argv:
-        bench_longeeg()
-    elif "--diffeeg-train" in sys.argv:
-        bench_diffeeg_train()
-    elif "--multimodal" in sys.argv and "--breakdown" in sys.argv:
-        bench_multimodal_breakdown()
-    elif "--multimodal" in sys.argv:
-        bench_multimodal()
-    elif "--diffusion" in sys.argv:
-        bench_diffusion()
-    elif "--latency" in sys.argv:
-        bench_latency()
-    elif "--hostgather" in sys.argv:
-        bench_hostgather()
-    elif "--convprobe" in sys.argv:
-        bench_convprobe()
-    else:
-        main()
+    try:
+        if "--gradcam" in sys.argv:
+            bench_gradcam()
+        elif "--multimodal-effnetv2" in sys.argv:
+            bench_multimodal("effnetv2")
+        elif "--multimodal-effnet" in sys.argv:
+            bench_multimodal("effnet")
+        elif "--train" in sys.argv:
+            bench_train()
+        elif "--longeeg" in sys.argv:
+            bench_longeeg()
+        elif "--diffeeg-train" in sys.argv:
+            bench_diffeeg_train()
+        elif "--multimodal" in sys.argv and "--breakdown" in sys.argv:
+            bench_multimodal_breakdown()
+        elif "--multimodal" in sys.argv:
+            bench_multimodal()
+        elif "--diffusion" in sys.argv:
+            bench_diffusion()
+        elif "--latency" in sys.argv:
+            bench_latency()
+        elif "--hostgather" in sys.argv:
+            bench_hostgather()
+        elif "--xai-batch" in sys.argv:
+            bench_xai_batch()
+        elif "--convprobe" in sys.argv:
+            bench_convprobe()
+        else:
+            main()
+    except Exception as e:                                  # noqa: BLE001
+        # a mode died mid-run (e.g. the tunnel's remote-compile endpoint
+        # dropping the connection) — still emit a structured, parseable
+        # artifact; the supervisor reprints it as the final line
+        import traceback
+        traceback.print_exc()
+        metric = _metric_for_argv(sys.argv)
+        _emit({"metric": metric, "value": 0.0, "unit": "error",
+               "vs_baseline": 0.0, "error": _short_err(e),
+               "last_good": LAST_GOOD.get(metric)})
+        sys.exit(1)

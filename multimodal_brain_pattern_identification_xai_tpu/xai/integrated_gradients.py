@@ -20,7 +20,8 @@ def integrated_gradients(forward: Callable[[jnp.ndarray], jnp.ndarray],
                          x: jnp.ndarray,
                          baseline: Optional[jnp.ndarray] = None,
                          target: Optional[jnp.ndarray] = None,
-                         steps: int = 50) -> jnp.ndarray:
+                         steps: int = 50,
+                         chunk: Optional[int] = None) -> jnp.ndarray:
     """IG(x) = (x − x₀) · ∫₀¹ ∂f(x₀ + α(x − x₀))/∂x dα  (Riemann midpoint).
 
     Satisfies the completeness axiom Σ attr ≈ f(x) − f(x₀) (tested).
@@ -29,6 +30,13 @@ def integrated_gradients(forward: Callable[[jnp.ndarray], jnp.ndarray],
         forward: ``(B, ...) → (B, C)`` logits closure.
         baseline: same shape as ``x``; zeros by default.
         target: (B,) class indices; default argmax at ``x``.
+        chunk: when set, the ``steps`` interpolation points are processed
+            ``chunk`` at a time under a ``lax.scan`` instead of one vmapped
+            batch — the effective network batch drops from ``steps × B`` to
+            ``chunk × B``, which is what makes production-size sweeps
+            (B=256, steps=50 → 12,800 fwd+bwd passes) fit in HBM.  Must
+            divide ``steps``; the result is mathematically identical (the
+            grads are summed in a different order — f32 noise only).
     """
     if baseline is None:
         baseline = jnp.zeros_like(x)
@@ -45,6 +53,17 @@ def integrated_gradients(forward: Callable[[jnp.ndarray], jnp.ndarray],
         point = baseline + alpha * (x - baseline)
         return jax.grad(score)(point)
 
-    grads = jax.vmap(grad_at)(alphas)          # (steps, B, ...)
-    avg_grad = jnp.mean(grads, axis=0)
+    if chunk is None or chunk >= steps:
+        grads = jax.vmap(grad_at)(alphas)      # (steps, B, ...)
+        avg_grad = jnp.mean(grads, axis=0)
+    else:
+        if steps % chunk:
+            raise ValueError(f"chunk={chunk} must divide steps={steps}")
+
+        def body(acc, a):
+            return acc + jnp.sum(jax.vmap(grad_at)(a), axis=0), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros_like(x),
+                              alphas.reshape(steps // chunk, chunk))
+        avg_grad = acc / steps
     return (x - baseline) * avg_grad

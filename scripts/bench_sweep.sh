@@ -19,11 +19,16 @@ run() {  # run <label> <env...> -- <args...>
   shift
   echo "== $label" >&2
   local line
-  line=$(env "${envs[@]}" timeout 1200 python bench.py "$@" 2>/dev/null | tail -1)
+  # the in-bench supervisor gets (nearly) the full per-mode timeout — the
+  # 240 s driver default would make it skip scan programs mid-sweep
+  line=$(env "${envs[@]}" BENCH_TOTAL_BUDGET="${BENCH_TOTAL_BUDGET:-1140}" \
+      timeout 1200 python bench.py "$@" 2>/dev/null | tail -1)
   if [ -n "$line" ]; then
-    printf '{"label": "%s", "result": %s}\n' "$label" "$line" >> "$OUT"
+    printf '{"label": "%s", "round": %s, "result": %s}\n' \
+        "$label" "${BENCH_ROUND:-0}" "$line" >> "$OUT"
   else
-    printf '{"label": "%s", "result": {"error": "no output"}}\n' "$label" >> "$OUT"
+    printf '{"label": "%s", "round": %s, "result": {"error": "no output"}}\n' \
+        "$label" "${BENCH_ROUND:-0}" >> "$OUT"
   fi
 }
 
@@ -42,6 +47,7 @@ run multimodal_breakdown_fused2 BENCH_FUSED_SPEC=2 BENCH_DEVICE_TIMEOUT=120 -- -
 run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
 run multimodal_effnetv2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
 run convprobe          BENCH_DEVICE_TIMEOUT=120 -- --convprobe
+run xai_batch          BENCH_DEVICE_TIMEOUT=120 -- --xai-batch
 run train              BENCH_DEVICE_TIMEOUT=120 -- --train
 run hostgather         BENCH_DEVICE_TIMEOUT=120 -- --hostgather
 run longeeg            BENCH_DEVICE_TIMEOUT=120 -- --longeeg

@@ -435,10 +435,12 @@ def test_dump_config_roundtrip(tmp_path, capsys):
 
 
 def test_bench_watchdog_emits_machine_comparable_error_json():
-    """With an impossible device timeout, bench.py must exit rc=1 within
-    ~1 min and print a parseable error JSON carrying the structured
-    ``last_good`` record (value/unit/round/source) so BENCH_r{N}.json stays
-    machine-comparable across rounds even when the tunnel is down."""
+    """With an impossible device timeout, bench.py must print a parseable
+    error JSON carrying the structured ``last_good`` record
+    (value/unit/round/source) so BENCH_r{N}.json stays machine-comparable
+    across rounds even when the tunnel is down.  Since round 5 the run is
+    wrapped by the supervisor, which reprints the child's error line and
+    exits 0 (the artifact is the contract)."""
     import subprocess
     import sys
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -451,10 +453,150 @@ def test_bench_watchdog_emits_machine_comparable_error_json():
     env["BENCH_DEVICE_TIMEOUT"] = "0.0001"   # cannot win: jax import >> this
     proc = subprocess.run([sys.executable, "bench.py"], cwd=repo, env=env,
                           capture_output=True, text=True, timeout=120)
-    assert proc.returncode == 1
+    assert proc.returncode == 0
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert out["unit"] == "error" and "error" in out
     lg = out["last_good"]
     assert lg["value"] > 0 and "unit" in lg and "round" in lg
     assert "source" in lg
+
+
+def _run_bench(args, env_extra, timeout=60):
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(env_extra)
+    proc = subprocess.run([sys.executable, "bench.py"] + args, cwd=repo,
+                          env=env, capture_output=True, text=True,
+                          timeout=timeout)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return proc.returncode, json.loads(line)
+
+
+def test_bench_supervisor_deadline_reports_partial_measurement():
+    """VERDICT r4 #1: when the whole-run deadline expires mid-run (here: a
+    hermetic stand-in for a compile/execute that never returns), the
+    supervisor must kill the child and print the most recent PARTIAL
+    measurement as a valid JSON artifact, rc=0."""
+    rc, out = _run_bench(["--_selftest-stall"], {"BENCH_TOTAL_BUDGET": "8"})
+    assert rc == 0
+    assert out["metric"] == "eeg_windows_per_sec_per_chip"
+    assert out["value"] == 1.0 and out["partial"] is True
+    assert "deadline" in out["stopped_by"]
+
+
+def test_bench_supervisor_deadline_falls_back_to_last_good():
+    """Deadline expiry before ANY measurement → the structured last_good
+    error JSON (machine-comparable across rounds), still rc=0."""
+    rc, out = _run_bench(["--_selftest-hang"], {"BENCH_TOTAL_BUDGET": "4"})
+    assert rc == 0
+    assert out["unit"] == "error" and "error" in out
+    assert out["last_good"]["value"] > 0
+
+
+def test_bench_supervisor_prefers_partial_over_late_error():
+    """A measurement that completed before a later phase died (e.g. the
+    tunnel's remote-compile endpoint dropping the connection mid-mode) is
+    the artifact — not the error the run ended with."""
+    rc, out = _run_bench(["--_selftest-raise"], {"BENCH_TOTAL_BUDGET": "60"})
+    assert rc == 0
+    assert out["value"] == 2.0 and out["partial"] is True
+    assert "simulated" in out["stopped_by"]
+
+
+def test_bench_supervisor_sigterm_reports_partial_measurement():
+    """The driver kills over-budget runs with SIGTERM (BENCH_r04 rc=124):
+    the supervisor must catch it and still deliver the partial artifact."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["BENCH_TOTAL_BUDGET"] = "600"
+    proc = subprocess.Popen([sys.executable, "bench.py", "--_selftest-stall"],
+                            cwd=repo, env=env, stdout=subprocess.PIPE,
+                            text=True)
+    try:
+        # give the grandchild time to boot (~2 s interpreter startup here)
+        # and publish its PARTIAL, then TERM the supervisor
+        _time.sleep(8)
+        proc.send_signal(signal.SIGTERM)
+        out_line, _ = proc.communicate(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    out = json.loads(out_line.splitlines()[-1])
+    assert out["partial"] is True and "signal" in out["stopped_by"]
+
+
+def _import_bench():
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(repo, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_last_good_derived_from_sweep(tmp_path):
+    """VERDICT r4 #2: LAST_GOOD must be derived from BENCH_SWEEP.jsonl at
+    runtime (the hand-edited table went stale within a round), picking the
+    best entry per metric with the right direction of merit, and falling
+    back to the static table only when the file is absent."""
+    bench = _import_bench()
+
+    p = tmp_path / "sweep.jsonl"
+    p.write_text("\n".join([
+        json.dumps({"label": "a", "round": 3, "result": {
+            "metric": "eeg_windows_per_sec_per_chip", "value": 100.0,
+            "unit": "windows/s", "vs_baseline": 0.01}}),
+        json.dumps({"label": "b", "round": 4, "result": {
+            "metric": "eeg_windows_per_sec_per_chip", "value": 300.0,
+            "unit": "windows/s", "vs_baseline": 0.03}}),
+        json.dumps({"label": "lat_slow", "result": {
+            "metric": "single_window_stft_effnet_gradcam_latency",
+            "value": 5.0, "unit": "ms"}}),
+        json.dumps({"label": "lat_fast", "result": {
+            "metric": "single_window_stft_effnet_gradcam_latency",
+            "value": 2.0, "unit": "ms"}}),
+        json.dumps({"label": "ratio_hi", "result": {
+            "metric": "gradcam_cost_vs_inference", "value": 1.4,
+            "unit": "x"}}),
+        json.dumps({"label": "ratio_lo", "result": {
+            "metric": "gradcam_cost_vs_inference", "value": 1.1,
+            "unit": "x"}}),
+        json.dumps({"label": "dead", "result": {
+            "metric": "eeg_windows_per_sec_per_chip", "value": None,
+            "unit": "error", "error": "tunnel down"}}),
+        "{not json",
+    ]))
+    lg = bench._load_last_good(str(p))
+    # throughput: larger wins; the error entry (value None) is skipped
+    assert lg["eeg_windows_per_sec_per_chip"]["value"] == 300.0
+    assert lg["eeg_windows_per_sec_per_chip"]["round"] == 4
+    assert lg["eeg_windows_per_sec_per_chip"]["source"].endswith(":b")
+    # latency and cost-ratio: smaller wins
+    assert lg["single_window_stft_effnet_gradcam_latency"]["value"] == 2.0
+    assert lg["gradcam_cost_vs_inference"]["value"] == 1.1
+    # absent file → static fallback
+    assert (bench._load_last_good(str(tmp_path / "nope.jsonl"))
+            == bench._STATIC_LAST_GOOD)
+
+    # the live table must agree with an independent scan of the real file
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    real = os.path.join(repo, "BENCH_SWEEP.jsonl")
+    best = {}
+    for line in open(real):
+        r = json.loads(line).get("result", {})
+        m, v = r.get("metric"), r.get("value")
+        if not isinstance(v, (int, float)):
+            continue
+        lower = ("ms" in (r.get("unit") or "").split("/")[0]
+                 or "latency" in m or m == "gradcam_cost_vs_inference")
+        if m not in best or (v < best[m] if lower else v > best[m]):
+            best[m] = v
+    assert {m: rec["value"] for m, rec in bench.LAST_GOOD.items()} == best

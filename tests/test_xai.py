@@ -69,6 +69,30 @@ def test_expected_gradients_shapes(small_cnn, rng):
     assert np.all(np.isfinite(np.asarray(vals)))
 
 
+def test_chunked_attribution_sweeps_match_vmapped(small_cnn, rng):
+    """``chunk=`` (the HBM-control scan form used by bench --xai-batch for
+    production-size sweeps) must reproduce the one-shot vmapped result —
+    same math, different f32 summation order."""
+    _, _, fwd = small_cnn
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
+    tgt = jnp.argmax(fwd(x), -1)
+    ig_full = xai.integrated_gradients(fwd, x, None, tgt, steps=8)
+    ig_chunk = xai.integrated_gradients(fwd, x, None, tgt, steps=8, chunk=2)
+    np.testing.assert_allclose(np.asarray(ig_chunk), np.asarray(ig_full),
+                               rtol=1e-4, atol=1e-6)
+
+    bg = jnp.asarray(rng.standard_normal((16, 3, 64, 48)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    eg_full = xai.expected_gradients(fwd, x, bg, key, tgt, nsamples=8)
+    eg_chunk = xai.expected_gradients(fwd, x, bg, key, tgt, nsamples=8,
+                                      chunk=4)
+    np.testing.assert_allclose(np.asarray(eg_chunk), np.asarray(eg_full),
+                               rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        xai.integrated_gradients(fwd, x, None, tgt, steps=8, chunk=3)
+
+
 def test_grad_cam(small_cnn, rng):
     model, variables, _ = small_cnn
     x = jnp.asarray(rng.standard_normal((2, 3, 64, 48)), jnp.float32)
