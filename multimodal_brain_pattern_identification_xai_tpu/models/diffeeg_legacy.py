@@ -22,6 +22,20 @@ Topology kept 1:1 with the dead-code original:
 * skip-sum 1×1 conv over x1+x2+x3+x4, then a 1×1 output projection
   (:74-77,162-165).
 
+One DELIBERATE deviation from the literal original (third legacy quirk,
+normalized rather than reproduced): the original expands ``step_emb`` to
+``time_dim`` unpacked from ``spectrogram.shape`` (:116,124) while
+``class_emb`` and ``input_conv(x)`` live on the EEG time axis
+``x.shape[-1]`` (:133,153), so their sum (:153) only type-checks in the
+degenerate case ``Ts == T`` — for any other shape the original is
+unrunnable.  Here ``step_emb`` broadcasts on the EEG time axis ``T`` like
+every other conditioning term, which makes the module well-defined under
+the stated contract ``F'·T' == T``; the pinned torch reference
+(``tests/torch_ref.py::make_torch_diffeeg_legacy``) encodes this
+corrected semantics too, so the parity test pins the port against a
+*corrected reimplementation*, not against the (unrunnable) literal
+original.
+
 Re-expressed on channel-last tensors (NHWC 2D convs, (B, T, C) 1D
 convs) for TPU; torch-exact output parity is pinned by
 tests/test_diffusion.py::test_torch_diffeeg_legacy_import_output_parity.

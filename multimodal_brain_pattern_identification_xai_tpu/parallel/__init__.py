@@ -7,7 +7,8 @@ sequence parallelism for long multi-hour EEG via shard_map collectives
 
 from .mesh import (make_mesh, batch_sharding, replicate,  # noqa: F401
                    param_shardings)
-from .train import make_parallel_train_step, shard_batch  # noqa: F401
+from .train import (make_parallel_train_step, shard_batch,  # noqa: F401
+                    replay_dp_loss_single_device)
 from .seqparallel import (halo_conv1d, sequence_parallel_attention,  # noqa: F401
                           LongEEGEncoder, long_eeg_forward, long_eeg_rollout)
 from .hosts import initialize_multihost, is_primary  # noqa: F401

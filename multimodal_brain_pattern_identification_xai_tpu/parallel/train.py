@@ -146,3 +146,49 @@ def make_parallel_train_step(mesh: Mesh, state: TrainState,
                            "nonfinite": ~finite}
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def replay_dp_loss_single_device(state: TrainState, batch: Dict[str, Any],
+                                 rng: jax.Array, dp: int,
+                                 loss_fn: Callable = kldiv_with_logits,
+                                 l2_lambda: float = 0.0) -> jnp.ndarray:
+    """Single-device replay of the loss :func:`make_parallel_train_step`
+    reports for a ``dp``-way data mesh — the independent reference the
+    multichip dry-run asserts against (the driver artifact then certifies
+    the mesh MATH, not just loss finiteness).
+
+    Reproduces the per-shard semantics serially on one device: the batch
+    is split into ``dp`` shards, each forward uses the shard's
+    rank-decorrelated dropout key (``fold_in(fold_in(rng, shard), step)``
+    — exactly ``local_grads``'s derivation) and its own BatchNorm batch
+    statistics (train-mode ``mutable`` apply on the shard slice, matching
+    DDP's per-rank BN), and the reported loss is the pmean, i.e. the
+    arithmetic mean of shard losses.  Models with dropout/BN therefore
+    compare EXACTLY (up to f32 reduction order) — unlike a plain
+    full-batch forward, which legitimately differs for them.
+    """
+    has_bn = state.batch_stats is not None
+    B = batch["y"].shape[0]
+    if B % dp:
+        raise ValueError(f"batch {B} not divisible by dp={dp}")
+    shard = B // dp
+    losses = []
+    for i in range(dp):
+        sl = {k: jnp.asarray(v)[i * shard:(i + 1) * shard]
+              for k, v in batch.items()}
+        shard_key = jax.random.fold_in(jnp.asarray(rng), i)
+        rngs = {"dropout": jax.random.fold_in(shard_key,
+                                              jnp.asarray(state.step))}
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        args = ((sl["eeg"], sl["spec"], True) if "eeg" in sl
+                else (sl["x"], True))
+        out = state.apply_fn(variables, *args, rngs=rngs,
+                             mutable=["batch_stats"] if has_bn else False)
+        logits = out[0] if has_bn else out
+        loss = loss_fn(logits, sl["y"])
+        if l2_lambda:
+            loss = loss + l2_regularization(state.params, l2_lambda)
+        losses.append(loss)
+    return jnp.mean(jnp.stack(losses))

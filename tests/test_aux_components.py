@@ -368,12 +368,18 @@ def test_sharded_attributions_match_single_device(rng):
                                               nsamples=4)
     # one fused 6-class program vs the eager per-class reference: the
     # low-probability classes' grad chains accumulate fusion-order f32
-    # noise on near-zero elements (host-dependent — measured up to ~1.02%
-    # of the attribution scale across XLA:CPU hosts), so pin per-element
-    # rtol plus a 2%-of-scale atol floor
-    np.testing.assert_allclose(np.asarray(got_sv), np.asarray(ref_sv),
-                               rtol=1e-3,
-                               atol=2e-2 * float(np.abs(ref_sv).max()))
+    # noise on near-zero elements.  The tolerance is MEASURED on this
+    # host instead of hard-coded (VERDICT r4 #7): jitting the SAME
+    # single-device computation as one fused program exposes exactly the
+    # fusion/reduction-order noise class the sharded comparison sees; 8×
+    # that observed scale (plus a tiny absolute floor) bounds it with
+    # margin on any host.
+    ref_sv_np = np.asarray(ref_sv)
+    refused = jax.jit(lambda xx, bb: xai.gradient_shap_values(
+        fwd, xx, bb, key, nsamples=4))(x, bg)
+    noise = float(np.abs(np.asarray(refused) - ref_sv_np).max())
+    np.testing.assert_allclose(np.asarray(got_sv), ref_sv_np,
+                               rtol=1e-3, atol=max(8 * noise, 1e-6))
 
 
 @pytest.mark.slow
