@@ -225,8 +225,22 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
     mm = models.MultimodalModel(
         eeg_model=models.EEGNetAttentionRegularized(),
         spectrogram_model=spec_branch)
-    prep_s = lambda rs: ops.hms_spectrogram_preprocess(
-        rs, serving_dtype=jnp.bfloat16)
+    # BENCH_SPEC_RES="200x150": the opt-in TPU-serving preset (r5) — the
+    # spectrogram chain anti-alias-resamples to a reduced plane and the
+    # SAME CNN weights serve it (the model is fully convolutional + GAP,
+    # so the preset is a pure serving-time input-size choice; quality
+    # proxy pinned by test_speccnn_reduced_resolution_serving_preset).
+    # Exact-parity 400×300 stays the default.
+    spec_res = os.environ.get("BENCH_SPEC_RES")
+    if spec_res:
+        import multimodal_brain_pattern_identification_xai_tpu.config as C
+        h, w = (int(v) for v in spec_res.lower().split("x"))
+        sig = C.SignalConfig(image_size=(h, w), resize_mode="resample")
+        prep_s = lambda rs: ops.hms_spectrogram_preprocess(
+            rs, signal=sig, serving_dtype=jnp.bfloat16)
+    else:
+        prep_s = lambda rs: ops.hms_spectrogram_preprocess(
+            rs, serving_dtype=jnp.bfloat16)
     # BENCH_EEG_BF16=1: opt-in bf16 serving mode on the EEG cascade's data
     # matmul (the pipeline's single biggest stage is HBM-bound; deviation
     # pinned at rms 0.024 z-units by test_hms_eeg_preprocess_bf16_...)
@@ -284,7 +298,13 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
                "vs_baseline": round(wps / 10_000.0, 4),
                "scan_len": scan_len,
                "per_dispatch_value": round(wps_disp, 2)}
-        if out["vs_baseline"] < 1.0:
+        if spec_res:
+            out["spec_image_size"] = spec_res
+            out["serving_preset"] = (
+                "reduced-resolution serving preset: same CNN weights, "
+                "anti-alias-resampled input; exact-parity 400x300 is the "
+                "default")
+        if out["vs_baseline"] < 1.0 and not spec_res:
             # machine-readable ceiling annotation (VERDICT r4 #5): the 10k
             # target is the HEADLINE preprocess+infer metric (met at >5×);
             # this dual-branch mode reproduces the notebook's exact model

@@ -213,6 +213,68 @@ def test_efficientnetv2_b2_topology():
     assert 8.4e6 < n_params < 9.1e6, n_params
 
 
+def test_speccnn_reduced_resolution_serving_preset(rng):
+    """The r5 opt-in TPU-serving preset for the dual-branch pipeline
+    (bench ``BENCH_SPEC_RES`` / ``--set signal.image_size=[200,150]
+    --set signal.resize_mode=resample``): the SpectrogramCNN is fully
+    convolutional + GAP, so the SAME weights serve an anti-alias-resampled
+    200×150 plane — block1/2 (the measured MXU-utilization ceiling of
+    BASELINE config #3, PARITY.md 'spec-CNN ceiling') cost 4× less.
+
+    What this test pins — the MECHANISM, not an accuracy-parity claim:
+
+    * the identical parameter tree serves both resolutions (deterministic,
+      finite, correct shapes, and the GAP head keeps class count);
+    * for smooth energy distributions (what real HMS planes look like
+      after the chain's Gaussian smooth), full- and half-res class
+      probabilities agree closely.
+
+    An accuracy-parity claim is deliberately NOT manufactured here: the
+    r5 characterization (PARITY.md 'reduced-resolution serving preset')
+    measured that resolution transfer is DATA-DEPENDENT — smooth-energy
+    class signals transfer, fine-texture (stripe-period) signals
+    anti-transfer because downscaling halves their period.  Validating
+    the preset for production requires the real checkpoint + data; the
+    exact-parity 400×300 path stays the default."""
+    import multimodal_brain_pattern_identification_xai_tpu.config as C
+    from multimodal_brain_pattern_identification_xai_tpu import ops
+
+    # smooth low-spatial-frequency energy planes, temporally modulated so
+    # the chain's baseline correction (per-row time-mean subtract) does
+    # not erase them
+    n = 4
+    t_ax = np.arange(300, dtype=np.float32)
+    raw = np.zeros((n, 400, 300), np.float32)
+    for i in range(n):
+        g = rng.random((10, 8)).astype(np.float32)
+        plane = np.asarray(jax.image.resize(jnp.asarray(g), (400, 300),
+                                            "bilinear"))
+        P = 60 + 60 * rng.random()
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * t_ax / P + rng.random() * 6.28)
+        raw[i] = plane * env[None, :] * 8.0
+    raw += rng.standard_normal(raw.shape).astype(np.float32) * 0.05
+
+    x_full = ops.hms_spectrogram_preprocess(jnp.asarray(raw))
+    sig = C.SignalConfig(image_size=(200, 150), resize_mode="resample")
+    x_half = ops.hms_spectrogram_preprocess(jnp.asarray(raw), signal=sig)
+    assert x_full.shape == (n, 3, 400, 300)
+    assert x_half.shape == (n, 3, 200, 150)
+
+    model = models.SpectrogramCNN()
+    v = model.init(jax.random.PRNGKey(0), x_full[:2])
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    p_full = np.asarray(model.apply(variables, x_full))
+    p_half = np.asarray(model.apply(variables, x_half))
+    assert p_full.shape == p_half.shape == (n, 6)
+    assert np.isfinite(p_half).all()
+    # determinism: same weights, same input → bitwise-same serving output
+    p_half2 = np.asarray(model.apply(variables, x_half))
+    np.testing.assert_array_equal(p_half, p_half2)
+    # smooth-input probability agreement (mean per-sample KL in nats)
+    kl = float(np.mean(np.sum(np.exp(p_full) * (p_full - p_half), -1)))
+    assert kl < 0.02, kl
+
+
 def test_bilinear_interpolate_matches_torch(rng):
     """models.layers.bilinear_interpolate_nhwc is torch F.interpolate
     (bilinear, align_corners=False, antialias=False) — both the gather
