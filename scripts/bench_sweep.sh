@@ -48,6 +48,8 @@ run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
 run multimodal_effnetv2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
 run convprobe          BENCH_DEVICE_TIMEOUT=120 -- --convprobe
 run xai_batch          BENCH_DEVICE_TIMEOUT=120 -- --xai-batch
+# r5 opt-in reduced-resolution serving preset (same weights, 200x150 input)
+run multimodal_halfres BENCH_SPEC_RES=200x150 BENCH_SCAN=8 BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 run train              BENCH_DEVICE_TIMEOUT=120 -- --train
 run hostgather         BENCH_DEVICE_TIMEOUT=120 -- --hostgather
 run longeeg            BENCH_DEVICE_TIMEOUT=120 -- --longeeg
