@@ -283,6 +283,11 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
     name = {"effnet": "multimodal_effnet_windows_per_sec_per_chip",
             "effnetv2": "multimodal_effnetv2_windows_per_sec_per_chip"}.get(
                 spec_model, "multimodal_windows_per_sec_per_chip")
+    if spec_res:
+        # the preset gets its own metric name so per-metric records
+        # (LAST_GOOD, cross-round comparisons) never mix the reduced-
+        # resolution serving numbers with the exact-parity default's
+        name = name.replace("_windows", f"_spec{spec_res}_windows")
 
     def result(wps, scan_len, wps_disp):
         out = {"metric": name,
