@@ -297,7 +297,9 @@ def _multimodal_data(args, cfg):
         src = data.multimodal_source(cfg.paths, cache_dir=args.ckpt_dir,
                                      n_workers=args.workers,
                                      limit=args.limit)
-        sig = C.SignalConfig()
+        # honor --set signal.* overrides (e.g. the r5 reduced-resolution
+        # serving preset: image_size=[200,150] resize_mode=resample)
+        sig = cfg.signal
         labels = np.asarray([C.NAME2LABEL[c]
                              for c in src.meta["expert_consensus"]])
         splits = train.stratified_kfold(labels, n_splits=cfg.n_folds,
@@ -833,10 +835,11 @@ def cmd_xai(args) -> int:
         batch = src.gather(np.asarray(va_idx[:n]))
         eeg_in, spec_in = ops.preprocess_multimodal(
             jnp.asarray(batch["eeg"]), jnp.asarray(batch["spec"]),
-            assume_finite=True)
+            signal=cfg.signal, assume_finite=True)
         bg_rows = tr_idx[:min(100, len(tr_idx))]
         bg = src.gather(np.asarray(bg_rows))
         eeg_bg = ops.hms_eeg_preprocess(jnp.asarray(bg["eeg"]),
+                                        signal=cfg.signal,
                                         assume_finite=True)
         y_in, y_bg = batch["y"], bg["y"]
         mm = models.MultimodalModel(
@@ -1018,7 +1021,7 @@ def cmd_predict(args) -> int:
                 fused_blocks=args.fused_spec))
         eeg0, spec0 = ops.preprocess_multimodal(
             jnp.asarray(b0["eeg"]), jnp.asarray(b0["spec"]),
-            assume_finite=True)
+            signal=cfg.signal, assume_finite=True)
         v0 = mm.init(jax.random.PRNGKey(args.seed), eeg0, spec0)
         if args.torch_ckpt:
             variables = _load_torch_multimodal(
@@ -1040,7 +1043,8 @@ def cmd_predict(args) -> int:
                 return 1
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-        pp_kwargs = dict(assume_finite=True)
+        # honor --set signal.* overrides (r5 serving preset included)
+        pp_kwargs = dict(assume_finite=True, signal=cfg.signal)
 
     put = jnp.asarray
     if mesh is not None:

@@ -270,6 +270,18 @@ def test_cli_predict_realdata(hms_tree, tmp_path, capsys):
     assert set(df["predicted_class"]) <= {
         "Seizure", "LPD", "GPD", "LRDA", "GRDA", "Other"}
 
+    # the r5 reduced-resolution serving preset flows through --set and
+    # serves the SAME checkpoint (the spec branch is fully-conv + GAP)
+    assert main(["predict", *common[:-2], "--batch-size", "5",
+                 "--set", "signal.image_size=[200,150]",
+                 "--set", "signal.resize_mode=resample",
+                 "--ckpt-dir", str(tmp_path)]) == 0
+    df2 = pd.read_csv(tmp_path / "predictions.csv")
+    probs2 = df2[[c for c in df2.columns
+                  if c.startswith("p_")]].to_numpy()
+    assert probs2.shape == (16, 6)
+    np.testing.assert_allclose(probs2.sum(1), 1.0, atol=1e-5)
+
     # without a checkpoint the command refuses rather than predicting
     # from a fresh init
     assert main(["predict", *common[:-2],
