@@ -378,8 +378,14 @@ def test_sharded_attributions_match_single_device(rng):
     refused = jax.jit(lambda xx, bb: xai.gradient_shap_values(
         fwd, xx, bb, key, nsamples=4))(x, bg)
     noise = float(np.abs(np.asarray(refused) - ref_sv_np).max())
+    # the probe can legitimately measure 0.0 (jit may fuse identically to
+    # the eager path on some hosts) while the SHARDED program still
+    # carries its own reduction-order noise — keep a 0.2%-of-scale
+    # minimum floor (10× below the ~2% worst excursion ever observed)
+    floor = 2e-3 * float(np.abs(ref_sv_np).max())
     np.testing.assert_allclose(np.asarray(got_sv), ref_sv_np,
-                               rtol=1e-3, atol=max(8 * noise, 1e-6))
+                               rtol=1e-3,
+                               atol=max(8 * noise, floor, 1e-6))
 
 
 @pytest.mark.slow
@@ -510,6 +516,34 @@ def test_bench_supervisor_prefers_partial_over_late_error():
     assert rc == 0
     assert out["value"] == 2.0 and out["partial"] is True
     assert "simulated" in out["stopped_by"]
+
+
+def test_bench_supervisor_prefers_partial_when_child_wedges_after_error():
+    """Finding from the r5 self-review: a child that emits an error final
+    and then WEDGES in teardown (deadline fires) must still surface the
+    already-measured partial, not the 0.0 error artifact."""
+    rc, out = _run_bench(["--_selftest-raise-hang"],
+                         {"BENCH_TOTAL_BUDGET": "8"})
+    assert rc == 0
+    assert out["value"] == 3.0 and out["partial"] is True
+    assert "simulated-then-wedged" in out["stopped_by"]
+
+
+def test_bench_last_good_skips_error_records(tmp_path):
+    """A failed capture's 0.0 placeholder must never enter LAST_GOOD —
+    for a lower-is-better metric it would otherwise win forever."""
+    bench = _import_bench()
+    p = tmp_path / "sweep.jsonl"
+    p.write_text("\n".join([
+        json.dumps({"label": "ok", "result": {
+            "metric": "single_window_stft_effnet_gradcam_latency",
+            "value": 2.0, "unit": "ms"}}),
+        json.dumps({"label": "down", "result": {
+            "metric": "single_window_stft_effnet_gradcam_latency",
+            "value": 0.0, "unit": "error", "error": "tunnel down"}}),
+    ]))
+    lg = bench._load_last_good(str(p))
+    assert lg["single_window_stft_effnet_gradcam_latency"]["value"] == 2.0
 
 
 def test_bench_supervisor_sigterm_reports_partial_measurement():
