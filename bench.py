@@ -122,7 +122,7 @@ def bench_gradcam() -> None:
     v = model.init(jax.random.PRNGKey(0), x[:2])
     variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
 
-    # BENCH_SCAN=K (default 8): K chained forwards per dispatch, so the
+    # BENCH_SCAN=K (default 64): K chained forwards per dispatch, so the
     # serialized tunnel-dispatch floor (~1.5-4.7 ms/execute, an axon
     # artifact — see the headline bench) cancels out of the ratio instead
     # of inflating BOTH sides toward 1
@@ -168,7 +168,7 @@ def bench_gradcam() -> None:
     # pair costs the same two cold compiles the K=1 pair would.  The K=1
     # per-dispatch pair is not re-measured at all (its times carry the
     # tunnel artifact; the sweep's historical K=1 entries cover it).
-    K = int(os.environ.get("BENCH_SCAN", 8))
+    K = int(os.environ.get("BENCH_SCAN", 64))
     t_inf, t_cam = measure_pair(K)
     _emit(result(t_inf, t_cam, K))
 
@@ -251,7 +251,7 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
             lambda a: a.astype(jnp.bfloat16),
             v["params"]["spectrogram_model"])
 
-    # BENCH_SCAN=K (default 8): K chained batches per dispatch — see the
+    # BENCH_SCAN=K (default 64): K chained batches per dispatch — see the
     # headline bench for the tunnel-dispatch-floor rationale
     def make_step(K):
         def body(c, _):
@@ -330,7 +330,7 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
         return out
 
     # budget-aware two-phase measurement, scan-first — see the headline
-    K = int(os.environ.get("BENCH_SCAN", 8))
+    K = int(os.environ.get("BENCH_SCAN", 64))
     wps = measure(K, max(2, 10 // K) if K > 1 else 10,
                   (raw_eeg, raw_spec))
     _partial(result(wps, K, None))
@@ -1143,14 +1143,18 @@ def main() -> None:
     # perturbation (uncacheable by construction; multiplicative so every
     # element's bit pattern changes — additive eps underflows in f32).
     #
-    # BENCH_SCAN=K (default 8): run K chained batches per dispatch via
+    # BENCH_SCAN=K (default 64): run K chained batches per dispatch via
     # lax.scan.  The axon tunnel charges a serialized ~1.5-4.7 ms floor
     # per EXECUTE that neither jax runahead nor concurrent chains can
     # overlap (measured: two interleaved independent chains run at 2× the
     # per-exec floor, not 1×) — an artifact of the tunnel, not of v5e,
     # where dispatch is tens of µs and overlaps compute.  Scanning K
     # batches inside one executable amortizes the artifact; the JSON
-    # reports the per-dispatch K=1 value alongside.
+    # reports the per-dispatch K=1 value alongside.  The r5 depth sweep
+    # (K=8/16/32/64 → 49.2k/59.2k/66.1k/69.9k f32) shows K=8 still left
+    # ~30% of the floor unamortized; 64 sits near the asymptote — the
+    # closest estimate of directly-attached-chip throughput this tunnel
+    # can produce.
     def make_step(K):
         def body(r, _):
             logp = model.apply(variables, prep(r))
@@ -1195,7 +1199,7 @@ def main() -> None:
     # the axon tunnel's server-side compile), so it runs FIRST and is
     # published as a partial; the K=1 per-dispatch number is the optional
     # second compile, attempted only when the remaining budget covers it.
-    K = int(os.environ.get("BENCH_SCAN", 8))
+    K = int(os.environ.get("BENCH_SCAN", 64))
     wps = measure(K, max(2, 12 // K) if K > 1 else 12, raw)
     _partial(result(wps, K, None))
     reserve = float(os.environ.get("BENCH_SCAN_RESERVE", 75))

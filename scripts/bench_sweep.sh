@@ -64,5 +64,13 @@ run headline_scan8     BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 --
 run headline_eegbf16_scan8 BENCH_EEG_BF16=1 BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 --
 run gradcam_scan8      BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 -- --gradcam
 run multimodal_scan8   BENCH_SCAN=8 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+# r5 depth sweep found K=8 leaves ~30% of the tunnel dispatch floor
+# unamortized (49.2k/59.2k/66.1k/69.9k at K=8/16/32/64 f32); K=64 is the
+# new default and the closest estimate of directly-attached throughput
+run headline_scan64    BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
+run headline_eegbf16_scan64 BENCH_EEG_BF16=1 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
+run gradcam_scan64     BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 -- --gradcam
+run multimodal_scan64  BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_halfres_scan64 BENCH_SPEC_RES=200x150 BENCH_SCAN=64 BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 
 echo "sweep done -> $OUT" >&2
