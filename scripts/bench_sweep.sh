@@ -72,5 +72,8 @@ run headline_eegbf16_scan64 BENCH_EEG_BF16=1 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=
 run gradcam_scan64     BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 -- --gradcam
 run multimodal_scan64  BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 run multimodal_halfres_scan64 BENCH_SPEC_RES=200x150 BENCH_SCAN=64 BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+# scan-amortized single-window latency: per-window kernel time without
+# the tunnel's per-dispatch floor (per_dispatch_ms reported alongside)
+run latency_scan64     BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 -- --latency
 
 echo "sweep done -> $OUT" >&2
