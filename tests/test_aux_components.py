@@ -572,6 +572,19 @@ def test_bench_supervisor_sigterm_reports_partial_measurement():
     assert out["partial"] is True and "signal" in out["stopped_by"]
 
 
+@pytest.mark.slow
+def test_bench_hostgather_mode_end_to_end_supervised():
+    """One real measurement mode (device-free --hostgather) through the
+    full supervisor → child → measure → emit pipeline with jax live —
+    the integration the hermetic selftest hooks bypass."""
+    rc, out = _run_bench(["--hostgather"],
+                         {"JAX_PLATFORMS": "cpu",
+                          "BENCH_TOTAL_BUDGET": "300"}, timeout=320)
+    assert rc == 0
+    assert out["metric"] == "hostgather_ring_ms_per_batch"
+    assert out["value"] > 0 and out.get("unit") != "error"
+
+
 def _import_bench():
     import importlib.util
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
