@@ -1284,9 +1284,17 @@ def cmd_cache_build(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import runpy
-    runpy.run_path("bench.py", run_name="__main__")
-    return 0
+    """Headline benchmark via the repo-root harness (absolute path, own
+    process — the harness supervises itself and always prints one JSON
+    line; other modes run ``python bench.py --<mode>`` directly)."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(repo, "bench.py")
+    if not os.path.exists(bench):
+        print("bench.py not found next to the package "
+              "(installed without the repo tree)")
+        return 1
+    return subprocess.call([sys.executable, bench])
 
 
 COMMANDS = {
