@@ -1489,6 +1489,11 @@ if __name__ == "__main__":
         _partial({"metric": "eeg_windows_per_sec_per_chip", "value": 1.0,
                   "unit": "windows/s", "vs_baseline": 0.0001,
                   "scan_len": 1, "selftest": True})
+        if os.environ.get("BENCH_SELFTEST_SENTINEL"):
+            # lets the SIGTERM test wait for the partial deterministically
+            # instead of racing a fixed sleep against interpreter startup
+            with open(os.environ["BENCH_SELFTEST_SENTINEL"], "w") as fh:
+                fh.write("partial-published")
         time.sleep(3600)
     if "--_selftest-hang" in sys.argv:
         time.sleep(3600)

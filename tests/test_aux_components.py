@@ -552,17 +552,25 @@ def test_bench_supervisor_sigterm_reports_partial_measurement():
     import signal
     import subprocess
     import sys
+    import tempfile
     import time as _time
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["BENCH_TOTAL_BUDGET"] = "600"
+    sentinel = os.path.join(tempfile.mkdtemp(), "partial-published")
+    env["BENCH_SELFTEST_SENTINEL"] = sentinel
     proc = subprocess.Popen([sys.executable, "bench.py", "--_selftest-stall"],
                             cwd=repo, env=env, stdout=subprocess.PIPE,
                             text=True)
     try:
-        # give the grandchild time to boot (~2 s interpreter startup here)
-        # and publish its PARTIAL, then TERM the supervisor
-        _time.sleep(8)
+        # wait for the grandchild to confirm the PARTIAL was published
+        # (interpreter startup here costs ~2 s and is load-dependent —
+        # a fixed sleep raced on busy hosts), then TERM the supervisor
+        deadline = _time.time() + 60
+        while not os.path.exists(sentinel):
+            assert _time.time() < deadline, "selftest child never published"
+            _time.sleep(0.2)
+        _time.sleep(0.5)                # let the parent's reader consume it
         proc.send_signal(signal.SIGTERM)
         out_line, _ = proc.communicate(timeout=30)
     finally:
