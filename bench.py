@@ -1304,11 +1304,12 @@ def _load_last_good(path: str | None = None) -> dict:
 # derived from the sweep file by _load_last_good() (see VERDICT r4 #2).
 _STATIC_LAST_GOOD = {
     "eeg_windows_per_sec_per_chip": {
-        "value": 51348.4, "unit": "windows/s", "vs_baseline": 5.135,
-        "round": 4, "source": "builder:BENCH_SWEEP.jsonl:headline_scan8"},
+        "value": 86922.31, "unit": "windows/s", "vs_baseline": 8.6922,
+        "round": 5,
+        "source": "builder:BENCH_SWEEP.jsonl:headline_eegbf16_scan64"},
     "gradcam_cost_vs_inference": {
-        "value": 1.041, "unit": "x", "vs_baseline": 1.92,
-        "round": 4, "source": "builder:BENCH_SWEEP.jsonl:gradcam_scan8"},
+        "value": 1.013, "unit": "x", "vs_baseline": 1.974,
+        "round": 5, "source": "builder:BENCH_SWEEP.jsonl:gradcam_scan8"},
 }
 
 LAST_GOOD = _load_last_good()

@@ -656,6 +656,8 @@ def test_bench_last_good_derived_from_sweep(tmp_path):
         m, v = r.get("metric"), r.get("value")
         if not isinstance(v, (int, float)):
             continue
+        if r.get("unit") == "error" or "error" in r:
+            continue                    # mirrors _load_last_good's skip
         lower = ("ms" in (r.get("unit") or "").split("/")[0]
                  or "latency" in m or m == "gradcam_cost_vs_inference")
         if m not in best or (v < best[m] if lower else v > best[m]):
