@@ -22,9 +22,9 @@ for the TP demos in :mod:`.tp`.
 
 from __future__ import annotations
 
-import functools
+
 import re
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
