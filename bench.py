@@ -52,9 +52,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 #   ``PARTIAL`` results, and on deadline expiry / SIGTERM kills the child and
 #   prints the best already-measured result — or the ``last_good`` error JSON
 #   — itself;
-# * the child is BUDGET-AWARE: scanned modes measure K=1 first (one compile),
-#   publish it as a partial, and only compile the second K>1 program when the
-#   remaining budget covers another cold compile.
+# * the child is BUDGET-AWARE: scanned modes measure the K-scan HEADLINE
+#   program first (one cold compile — the persistent cache does not shortcut
+#   the tunnel's server-side compile), publish it as a partial, and only
+#   compile the optional K=1 per-dispatch program when the remaining budget
+#   covers another cold compile.
 #
 # ``BENCH_TOTAL_BUDGET`` (seconds, default 240 — safely inside the driver
 # budget implied by r3's surviving 300 s watchdog line) bounds the whole run;
@@ -78,6 +80,26 @@ def _partial(result: dict) -> None:
     recent partial becomes the final printed artifact."""
     if os.environ.get("BENCH_SUPERVISED") == "1":
         print("PARTIAL " + json.dumps(result), flush=True)
+
+
+def _have_budget_for(n_compiles: float = 1.0) -> bool:
+    """True when the remaining budget covers ``n_compiles`` further cold
+    compiles (``BENCH_SCAN_RESERVE`` seconds each, default 75)."""
+    reserve = float(os.environ.get("BENCH_SCAN_RESERVE", 75))
+    return _budget_remaining() > n_compiles * reserve
+
+
+def _run_scan_first(measure, K: int, base_iters: int, result) -> None:
+    """Shared budget-aware policy of the scanned throughput modes:
+    measure the K-scan headline program first and publish it as a
+    partial; re-measure at K=1 (the optional per-dispatch figure, a
+    second cold compile) only when the budget allows; emit."""
+    value = measure(K, max(2, base_iters // K) if K > 1 else base_iters)
+    _partial(result(value, K, None))
+    if K > 1 and _have_budget_for(1):
+        _emit(result(value, K, measure(1, base_iters)))
+    else:
+        _emit(result(value, K, value if K == 1 else None))
 
 
 def _emit(result: dict) -> None:
@@ -329,16 +351,9 @@ def bench_multimodal(spec_model: str = "speccnn") -> None:
                     "modes'")
         return out
 
-    # budget-aware two-phase measurement, scan-first — see the headline
     K = int(os.environ.get("BENCH_SCAN", 64))
-    wps = measure(K, max(2, 10 // K) if K > 1 else 10,
-                  (raw_eeg, raw_spec))
-    _partial(result(wps, K, None))
-    reserve = float(os.environ.get("BENCH_SCAN_RESERVE", 75))
-    if K > 1 and _budget_remaining() > reserve:
-        _emit(result(wps, K, measure(1, 10, (raw_eeg, raw_spec))))
-    else:
-        _emit(result(wps, K, wps if K == 1 else None))
+    _run_scan_first(lambda k, it: measure(k, it, (raw_eeg, raw_spec)),
+                    K, 10, result)
 
 
 def bench_multimodal_breakdown() -> None:
@@ -775,7 +790,7 @@ def bench_xai_batch() -> None:
     ig_mps = measure(ig_step)
     _partial(result(ig_mps, None))
     # the SHAP program is a second cold compile (6-class scan) — budget gate
-    if _budget_remaining() > float(os.environ.get("BENCH_SCAN_RESERVE", 75)):
+    if _have_budget_for(1):
         _emit(result(ig_mps, measure(shap_step)))
     else:
         out = result(ig_mps, None)
@@ -845,8 +860,7 @@ def bench_latency() -> None:
                 "per_dispatch_ms": round(disp_ms, 3)}
 
     K = int(os.environ.get("BENCH_SCAN", 64))
-    if K <= 1 or _budget_remaining() <= float(
-            os.environ.get("BENCH_SCAN_RESERVE", 75)):
+    if K <= 1 or not _have_budget_for(1):
         out_ = result(disp_ms, 1)
         if K > 1:
             out_["scan_skipped"] = "budget"
@@ -1239,15 +1253,10 @@ def main() -> None:
     # compile as K=1 (measured: the persistent cache does not shortcut
     # the axon tunnel's server-side compile), so it runs FIRST and is
     # published as a partial; the K=1 per-dispatch number is the optional
-    # second compile, attempted only when the remaining budget covers it.
+    # second compile, attempted only when the remaining budget covers it
+    # (shared policy: _run_scan_first).
     K = int(os.environ.get("BENCH_SCAN", 64))
-    wps = measure(K, max(2, 12 // K) if K > 1 else 12, raw)
-    _partial(result(wps, K, None))
-    reserve = float(os.environ.get("BENCH_SCAN_RESERVE", 75))
-    if K > 1 and _budget_remaining() > reserve:
-        _emit(result(wps, K, measure(1, 12, raw)))
-    else:
-        _emit(result(wps, K, wps if K == 1 else None))
+    _run_scan_first(lambda k, it: measure(k, it, raw), K, 12, result)
 
 
 def _lower_is_better(metric: str, unit: str) -> bool:
