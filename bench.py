@@ -843,31 +843,39 @@ def bench_latency() -> None:
         heat = xai.grad_cam(model, variables, x)
         return r * (1.0 + jnp.mean(out) * 1e-4), out, heat
 
-    raw, out, heat = step(raw)
-    jax.block_until_ready(heat)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        raw, out, heat = step(raw)
-    jax.block_until_ready(heat)
-    disp_ms = (time.perf_counter() - t0) / iters * 1e3
-
-    def result(ms, scan_len):
-        return {"metric": "single_window_stft_effnet_gradcam_latency",
+    def result(ms, scan_len, disp_ms):
+        out_ = {"metric": "single_window_stft_effnet_gradcam_latency",
                 "value": round(ms, 3), "unit": "ms",
                 "vs_baseline": None,
                 "scan_len": scan_len,
-                "per_dispatch_ms": round(disp_ms, 3)}
+                "per_dispatch_ms": (round(disp_ms, 3)
+                                    if disp_ms is not None else None)}
+        if disp_ms is None:
+            out_["per_dispatch_skipped"] = "budget"
+        return out_
+
+    def measure_single():
+        nonlocal raw
+        r = raw
+        r, out, heat = step(r)
+        jax.block_until_ready(heat)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r, out, heat = step(r)
+        jax.block_until_ready(heat)
+        raw = r
+        return (time.perf_counter() - t0) / 20 * 1e3
 
     K = int(os.environ.get("BENCH_SCAN", 64))
-    if K <= 1 or not _have_budget_for(1):
-        out_ = result(disp_ms, 1)
-        if K > 1:
-            out_["scan_skipped"] = "budget"
-        _emit(out_)
+    if K <= 1:
+        disp_ms = measure_single()
+        _emit(result(disp_ms, 1, disp_ms))
         return
-    _partial(result(disp_ms, 1))
 
+    # scan program FIRST — it is the headline (kernel ms/window without
+    # the tunnel's per-dispatch floor) and costs the one unavoidable cold
+    # compile; the per-dispatch figure is the optional second compile,
+    # mirroring _run_scan_first's policy.
     def body(r, _):
         x = make_spec(r)
         o = model.apply(variables, x)
@@ -883,12 +891,17 @@ def bench_latency() -> None:
 
     raw, s = step_scan(raw)
     _ = float(s)
+    iters = max(2, 20 // K) + 3
     t0 = time.perf_counter()
-    for _ in range(max(2, 20 // K) + 3):
+    for _ in range(iters):
         raw, s = step_scan(raw)
     _ = float(s)
-    ms = ((time.perf_counter() - t0) / (max(2, 20 // K) + 3) / K) * 1e3
-    _emit(result(ms, K))
+    ms = ((time.perf_counter() - t0) / iters / K) * 1e3
+    _partial(result(ms, K, None))
+    if _have_budget_for(1):
+        _emit(result(ms, K, measure_single()))
+    else:
+        _emit(result(ms, K, None))
 
 
 def bench_hostgather() -> None:
@@ -1317,7 +1330,7 @@ _STATIC_LAST_GOOD = {
         "round": 5,
         "source": "builder:BENCH_SWEEP.jsonl:headline_eegbf16_scan64"},
     "gradcam_cost_vs_inference": {
-        "value": 1.013, "unit": "x", "vs_baseline": 1.974,
+        "value": 1.013, "unit": "x", "vs_baseline": 1.975,
         "round": 5, "source": "builder:BENCH_SWEEP.jsonl:gradcam_scan8"},
 }
 
@@ -1404,6 +1417,16 @@ def _supervise(argv: list[str]) -> "int":
         os._exit(0)
 
     def stop(reason: str) -> "None":
+        if state["final"] is None and state["partial"] is None:
+            # drain window: a PARTIAL the child already flushed may not
+            # have been scheduled onto the reader thread yet (signal
+            # handlers can win that race on loaded hosts) — give it up to
+            # 2 s before declaring "no measurement"
+            for _ in range(20):
+                time.sleep(0.1)
+                if (state["final"] is not None
+                        or state["partial"] is not None):
+                    break
         final, partial = state["final"], state["partial"]
         if final is not None and (final.get("unit") != "error"
                                   or partial is None):

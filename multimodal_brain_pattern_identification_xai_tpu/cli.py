@@ -1291,8 +1291,9 @@ def cmd_bench(args) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench = os.path.join(repo, "bench.py")
     if not os.path.exists(bench):
+        # stderr: stdout is reserved for the harness's one JSON line
         print("bench.py not found next to the package "
-              "(installed without the repo tree)")
+              "(installed without the repo tree)", file=sys.stderr)
         return 1
     return subprocess.call([sys.executable, bench])
 

@@ -32,20 +32,20 @@ run() {  # run <label> <env...> -- <args...>
   fi
 }
 
-run headline           BENCH_DEVICE_TIMEOUT=120 --
-run headline_B512      BENCH_BATCH=512 BENCH_DEVICE_TIMEOUT=120 --
-run headline_eegbf16   BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 --
-run gradcam            BENCH_DEVICE_TIMEOUT=120 -- --gradcam
-run latency            BENCH_DEVICE_TIMEOUT=120 -- --latency
-run multimodal         BENCH_DEVICE_TIMEOUT=120 -- --multimodal
-run multimodal_eegbf16 BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run headline           BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 --
+run headline_B512      BENCH_BATCH=512 BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 --
+run headline_eegbf16   BENCH_EEG_BF16=1 BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 --
+run gradcam            BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --gradcam
+run latency            BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --latency
+run multimodal         BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_eegbf16 BENCH_EEG_BF16=1 BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 run multimodal_breakdown BENCH_DEVICE_TIMEOUT=120 -- --multimodal --breakdown
 # fused phase-packed Pallas spec blocks (r4 lever; first compile ~minutes)
-run multimodal_fused2  BENCH_FUSED_SPEC=2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
-run multimodal_fused1  BENCH_FUSED_SPEC=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_fused2  BENCH_FUSED_SPEC=2 BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
+run multimodal_fused1  BENCH_FUSED_SPEC=1 BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 run multimodal_breakdown_fused2 BENCH_FUSED_SPEC=2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal --breakdown
-run multimodal_effnet  BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
-run multimodal_effnetv2 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
+run multimodal_effnet  BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnet
+run multimodal_effnetv2 BENCH_SCAN=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal-effnetv2
 run convprobe          BENCH_DEVICE_TIMEOUT=120 -- --convprobe
 run xai_batch          BENCH_DEVICE_TIMEOUT=120 -- --xai-batch
 # r5 opt-in reduced-resolution serving preset (same weights, 200x150 input)
@@ -75,5 +75,10 @@ run multimodal_halfres_scan64 BENCH_SPEC_RES=200x150 BENCH_SCAN=64 BENCH_EEG_BF1
 # scan-amortized single-window latency: per-window kernel time without
 # the tunnel's per-dispatch floor (per_dispatch_ms reported alongside)
 run latency_scan64     BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 -- --latency
+# K=64 batch-scaling and reference-nsamples points (first captured manually r5)
+run headline_B512_scan64 BENCH_BATCH=512 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
+run headline_B1024_scan64 BENCH_BATCH=1024 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
+run headline_B512_eegbf16_scan64 BENCH_BATCH=512 BENCH_EEG_BF16=1 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
+run xai_batch_ns200    BENCH_SHAP_NSAMPLES=200 BENCH_DEVICE_TIMEOUT=120 -- --xai-batch
 
 echo "sweep done -> $OUT" >&2

@@ -546,18 +546,20 @@ def test_bench_last_good_skips_error_records(tmp_path):
     assert lg["single_window_stft_effnet_gradcam_latency"]["value"] == 2.0
 
 
-def test_bench_supervisor_sigterm_reports_partial_measurement():
+def test_bench_supervisor_sigterm_reports_partial_measurement(tmp_path):
     """The driver kills over-budget runs with SIGTERM (BENCH_r04 rc=124):
-    the supervisor must catch it and still deliver the partial artifact."""
+    the supervisor must catch it and still deliver the partial artifact.
+    (The supervisor's stop() additionally drains already-flushed child
+    output for up to 2 s before giving up on a partial, closing the
+    reader-thread scheduling race on loaded hosts.)"""
     import signal
     import subprocess
     import sys
-    import tempfile
     import time as _time
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["BENCH_TOTAL_BUDGET"] = "600"
-    sentinel = os.path.join(tempfile.mkdtemp(), "partial-published")
+    sentinel = str(tmp_path / "partial-published")
     env["BENCH_SELFTEST_SENTINEL"] = sentinel
     proc = subprocess.Popen([sys.executable, "bench.py", "--_selftest-stall"],
                             cwd=repo, env=env, stdout=subprocess.PIPE,
