@@ -80,5 +80,10 @@ run headline_B512_scan64 BENCH_BATCH=512 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 
 run headline_B1024_scan64 BENCH_BATCH=1024 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
 run headline_B512_eegbf16_scan64 BENCH_BATCH=512 BENCH_EEG_BF16=1 BENCH_SCAN=64 BENCH_DEVICE_TIMEOUT=120 --
 run xai_batch_ns200    BENCH_SHAP_NSAMPLES=200 BENCH_DEVICE_TIMEOUT=120 -- --xai-batch
+# asymptote check (K=64 stays the default: +3.3% at double the latency)
+run headline_scan128   BENCH_SCAN=128 BENCH_DEVICE_TIMEOUT=120 --
+# preset scaling point (experimental, NOT a recommended preset: quarter
+# res discards far more detail than the documented 200x150 preset)
+run multimodal_quarterres_scan64 BENCH_SPEC_RES=100x75 BENCH_SCAN=64 BENCH_EEG_BF16=1 BENCH_DEVICE_TIMEOUT=120 -- --multimodal
 
 echo "sweep done -> $OUT" >&2
