@@ -33,9 +33,12 @@ import time
 
 import numpy as np
 
-# Persistent XLA compilation cache: compiles over the axon tunnel cost
-# 20s-10min per program (EfficientNet-B0 is the worst); caching them on
-# disk makes repeat bench invocations start in seconds.
+# Persistent XLA compilation cache.  Compiles over the axon tunnel cost
+# 20s-10min per program (EfficientNet-B0 is the worst).  NOTE (measured
+# r5): on the axon platform the cache does NOT shortcut repeat compiles —
+# compilation happens server-side behind the remote_compile endpoint — so
+# the budget machinery below, not this cache, is what bounds driver runs;
+# the cache is kept because it is free and helps on CPU/other backends.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
